@@ -1,0 +1,93 @@
+"""Distributed sort tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+multi-host strategy tested via --xla_force_host_platform_device_count)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tinyhipradixsort_tpu as thrs
+from tinyhipradixsort_tpu.parallel import (
+    make_sort_mesh, psort_indices, psort_keys, psort_pairs)
+from tests import oracles
+
+RNG = np.random.default_rng(0xD157)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_sort_mesh()
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.float32, np.uint64])
+@pytest.mark.parametrize("n", [8, 1000, 65536, 100001])
+def test_psort_keys(mesh, dtype, n):
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f":
+        x = RNG.standard_normal(n).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        x = RNG.integers(info.min, info.max, size=n, dtype=dtype, endpoint=True)
+    got, overflow = psort_keys(jnp.asarray(x), mesh=mesh, check=True)
+    assert not bool(overflow)
+    want = oracles.oracle_sort_keys(x)
+    vd = np.uint32 if dtype.itemsize == 4 else np.uint64
+    np.testing.assert_array_equal(np.asarray(got).view(vd), want.view(vd))
+
+
+def test_psort_keys_descending(mesh):
+    x = RNG.integers(0, 2**32, size=20000, dtype=np.uint32)
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh, order="descending"))
+    np.testing.assert_array_equal(got, np.sort(x)[::-1])
+
+
+@pytest.mark.parametrize("skew", ["constant", "zipf", "two-values"])
+def test_psort_skewed(mesh, skew):
+    n = 50000
+    if skew == "constant":
+        x = np.full(n, 42, dtype=np.uint32)
+    elif skew == "zipf":
+        x = np.minimum(RNG.zipf(1.3, size=n), 2**31).astype(np.uint32)
+    else:
+        x = np.where(RNG.random(n) < 0.95, 7, 123456789).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v, overflow = psort_pairs(jnp.asarray(x), jnp.asarray(vals),
+                                 mesh=mesh, check=True)
+    assert not bool(overflow), f"splitter overflow on {skew}"
+    ok, ov = oracles.oracle_sort_pairs(x, vals)
+    np.testing.assert_array_equal(np.asarray(k), ok)
+    np.testing.assert_array_equal(np.asarray(v), ov)  # stability probe
+
+
+def test_psort_pairs_stability_and_payloads(mesh):
+    n = 30000
+    x = (RNG.integers(0, 64, size=n)).astype(np.uint32)
+    payload = {
+        "idx": np.arange(n, dtype=np.uint32),
+        "wide": RNG.integers(0, 2**64, size=n, dtype=np.uint64),
+    }
+    k, v = psort_pairs(jnp.asarray(x), jax.tree.map(jnp.asarray, payload),
+                       mesh=mesh)
+    order = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), x[order])
+    np.testing.assert_array_equal(np.asarray(v["idx"]), payload["idx"][order])
+    np.testing.assert_array_equal(np.asarray(v["wide"]), payload["wide"][order])
+
+
+def test_psort_indices(mesh):
+    n = 12345
+    x = RNG.integers(0, 100, size=n, dtype=np.uint32)
+    perm = np.asarray(psort_indices(jnp.asarray(x), mesh=mesh))
+    np.testing.assert_array_equal(perm, np.argsort(x, kind="stable"))
+
+
+def test_psort_matches_single_chip_float_bits(mesh):
+    # float keys incl. -0.0/+0.0: bit-exact vs numpy stable oracle
+    n = 9999
+    x = RNG.standard_normal(n).astype(np.float32)
+    x[RNG.random(n) < 0.1] = 0.0
+    x[RNG.random(n) < 0.1] = -0.0
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh))
+    want = oracles.oracle_sort_keys(x)
+    np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))

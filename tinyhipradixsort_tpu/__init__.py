@@ -16,8 +16,9 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from .config import Config, KeyType, SortOrder, ValueType, temporary_buffer_bytes
-from .keybits import key_bits, np_key_bits, np_key_bits_inverse
+from .keybits import key_bits, key_bits_inverse, np_key_bits, np_key_bits_inverse
 from .sort import RadixSort, sort_indices, sort_keys, sort_pairs
+from .parallel import make_sort_mesh, psort_indices, psort_keys, psort_pairs
 
 __version__ = "0.1.0"
 
@@ -28,8 +29,13 @@ __all__ = [
     "SortOrder",
     "ValueType",
     "key_bits",
+    "key_bits_inverse",
+    "make_sort_mesh",
     "np_key_bits",
     "np_key_bits_inverse",
+    "psort_indices",
+    "psort_keys",
+    "psort_pairs",
     "sort_indices",
     "sort_keys",
     "sort_pairs",

@@ -30,6 +30,7 @@ import numpy as np
 
 __all__ = [
     "key_bits",
+    "key_bits_inverse",
     "bit_width",
     "supported_key_dtypes",
     "np_key_bits",
@@ -94,6 +95,35 @@ def key_bits(keys: jax.Array, *, descending: bool = False) -> jax.Array:
     if descending:
         bits = ~bits
     return bits
+
+
+def key_bits_inverse(bits: jax.Array, dtype, *, descending: bool = False) -> jax.Array:
+    """Invert :func:`key_bits` on device (jnp mirror of
+    :func:`np_key_bits_inverse`). Exact for integer dtypes; for floats, any
+    ``-0.0`` in the original keys comes back as ``+0.0`` (the forward
+    transform normalizes zeros), so engines carry the raw float word instead
+    of using this."""
+    dtype = np.dtype(dtype)
+    nbits = bit_width(dtype)
+    udt = _uint_dtype(nbits)
+    if descending:
+        bits = ~bits
+    if dtype.kind == "u":
+        return bits.astype(dtype)
+    if dtype.kind == "i":
+        # same-width unsigned->signed astype is the two's-complement
+        # reinterpretation (modular), valid on TPU where 64-bit bitcast isn't
+        return (bits ^ (udt(1) << udt(nbits - 1))).astype(dtype)
+    if dtype.kind == "f":
+        sign_bit = udt(1) << udt(nbits - 1)
+        was_negative = (bits & sign_bit) == udt(0)
+        u = jnp.where(was_negative, ~bits, bits ^ sign_bit)
+        if nbits == 32:
+            return jax.lax.bitcast_convert_type(u, jnp.float32)
+        w = jnp.stack([(u & udt(0xFFFFFFFF)).astype(jnp.uint32),
+                       (u >> udt(32)).astype(jnp.uint32)], axis=-1)
+        return jax.lax.bitcast_convert_type(w, jnp.float64)
+    raise TypeError(f"unsupported key dtype: {dtype}")
 
 
 def np_key_bits_inverse(bits: np.ndarray, dtype, *, descending: bool = False) -> np.ndarray:

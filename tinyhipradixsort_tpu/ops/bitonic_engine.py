@@ -1,0 +1,413 @@
+"""Pallas TPU bitonic sort-merge engine — the single-chip speed path.
+
+Why bitonic and not a literal radix pipeline: the reference's 3-kernel radix
+pass (histogram -> scan -> scatter; reference kernel.cu:73-429) is built on
+GPU primitives TPUs do not have — shared-memory atomics, warp ballots, and
+per-element global scatter. On TPU, XLA's scatter/gather run at ~0.1 Gelem/s
+(serialized), two orders of magnitude below HBM speed-of-light. A bitonic
+sorting network, by contrast, moves data exclusively along *static* XOR
+strides: every compare-exchange partner is ``i ^ 2**j``, which maps to
+vector-register rolls and contiguous DMA — the only data-dependent operation
+is the compare-select itself. That makes bitonic the idiomatic TPU design:
+VPU-bound, fully static shapes, zero scatter.
+
+Semantics are identical to the reference sort (stable LSD radix over a bit
+window): we sort fixed tuples of uint32 words — ``cmp`` words compared
+lexicographically as unsigned ints (key bits from
+:mod:`tinyhipradixsort_tpu.keybits`, then a stability index word when
+required), plus ``carry`` words (payloads / original key bits) that ride the
+permutation. Stability is obtained by appending the element index to the
+compare tuple, which also makes all tuples distinct (a requirement for a
+deterministic network).
+
+Execution model
+---------------
+The network for ``N = 2**L`` elements is ``(k, j)`` substages, ``k`` in
+``1..L``, ``j`` in ``k-1..0``: compare-exchange with partner ``i ^ 2**j``,
+ascending iff bit ``k`` of ``i`` is 0. Substages are grouped into *sweeps*;
+each sweep is one ``pallas_call`` whose tile covers index bits
+``[0, c) ∪ [j_lo, j_hi]`` (a contiguous low chunk of ``2**c`` elements plus a
+contiguous group of ``g`` higher bits — the classic hyperblock fusion of
+cross-block stages). Within a sweep every substage's ``j`` lies in the tile,
+so the whole group runs in VMEM between one HBM read and one HBM write.
+Direction bits ``k`` outside the tile are uniform per grid step (derived from
+``program_id``); in-tile bits become iota masks.
+
+For 2**28 u32 keys this plan is ~29 HBM sweeps (vs ~400 for a naive
+stage-per-launch bitonic), i.e. ~60 GB of traffic — HBM-feasible — with the
+VPU compare-select work (~2000 ops/elem) the actual bound.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from . import common
+
+# ---------------------------------------------------------------------------
+# Network / sweep planning (host side, all static)
+# ---------------------------------------------------------------------------
+
+LANE_BITS = 7  # 128 lanes
+MIN_L = 10  # minimum padded problem size 2**10 (one (8, 128) tile)
+
+
+@dataclass(frozen=True)
+class Sweep:
+    """One pallas_call: tile covers bits [0, c) ∪ [j_lo, j_lo + g)."""
+
+    c: int  # low contiguous chunk bits
+    g: int  # high group bits
+    j_lo: int  # global bit position of the first group bit (j_lo >= c)
+    L: int  # total problem bits
+    # substages executed, in order: (k, j) with j in tile bits
+    substages: tuple[tuple[int, int], ...]
+
+    @property
+    def tile_elems(self) -> int:
+        return 1 << (self.c + self.g)
+
+    def tile_bit(self, j: int) -> int:
+        """Map global index bit j (in tile) to the tile-local flat bit."""
+        if j < self.c:
+            return j
+        assert self.j_lo <= j < self.j_lo + self.g
+        return self.c + (j - self.j_lo)
+
+    def has_bit(self, j: int) -> bool:
+        return j < self.c or self.j_lo <= j < self.j_lo + self.g
+
+    def grid(self) -> tuple[int, int]:
+        # global index i = a * 2**(j_lo+g) + e * 2**j_lo + b * 2**c + t
+        A = 1 << (self.L - (self.j_lo + self.g))
+        B = 1 << (self.j_lo - self.c)
+        return (A, B)
+
+    def dir_spec(self, k: int):
+        """How to compute direction bit k: ('tile', flat_bit) | ('a'|'b', bit)."""
+        if self.has_bit(k):
+            return ("tile", self.tile_bit(k))
+        if self.c <= k < self.j_lo:
+            return ("b", k - self.c)
+        if k >= self.j_lo + self.g:
+            return ("a", k - (self.j_lo + self.g))
+        raise AssertionError(f"unreachable direction bit {k} for {self}")
+
+
+def plan_sweeps(L: int, tile_bits: int, chunk_bits: int) -> list[Sweep]:
+    """Greedy sweep plan for the full bitonic network on 2**L elements.
+
+    tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
+    low-bit chunk used by cross-stage (hyperblock) sweeps — also the DMA
+    granularity (2**chunk_bits * 4B contiguous per DMA).
+    """
+    tile_bits = min(tile_bits, L)
+    chunk_bits = min(chunk_bits, tile_bits)
+    g_max = tile_bits - chunk_bits
+    subs = [(k, j) for k in range(1, L + 1) for j in range(k - 1, -1, -1)]
+    sweeps: list[Sweep] = []
+    pos = 0
+    while pos < len(subs):
+        _, j0 = subs[pos]
+        if j0 < tile_bits:
+            # local sweep: contiguous tile [0, size)
+            size = min(tile_bits, L)
+            c = min(chunk_bits, size)
+            g, j_lo = size - c, c
+            take = []
+            while pos < len(subs) and subs[pos][1] < size:
+                take.append(subs[pos])
+                pos += 1
+        else:
+            # cross (hyperblock) sweep: group [j_lo, j0]
+            j_lo = max(tile_bits, j0 - max(g_max, 1) + 1)
+            g = j0 - j_lo + 1
+            c = min(chunk_bits, tile_bits - g)
+            take = []
+            while pos < len(subs) and j_lo <= subs[pos][1] <= j0:
+                take.append(subs[pos])
+                pos += 1
+        sweeps.append(Sweep(c=c, g=g, j_lo=j_lo, L=L, substages=tuple(take)))
+    return sweeps
+
+
+# ---------------------------------------------------------------------------
+# Kernel generation
+# ---------------------------------------------------------------------------
+
+
+def _bit_vec(shape, axis: int, bit: int):
+    """Int32 0/1 vector: value of `bit` of the index along `axis`."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return (idx >> bit) & 1
+
+
+def _flat_bit_vec(shape, flat_bit: int):
+    if flat_bit < LANE_BITS:
+        return _bit_vec(shape, 1, flat_bit)
+    return _bit_vec(shape, 0, flat_bit - LANE_BITS)
+
+
+def _partner(x, flat_bit: int, hi_mask):
+    """Value of partner element (tile flat index ^ 2**flat_bit).
+
+    x: (rows, 128) uint32, tile flat index = row * 128 + lane; hi_mask is the
+    boolean vector of that flat bit. pltpu.roll lowers to a single
+    tpu.dynamic_rotate (jnp.roll would be slices+concat).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if flat_bit < LANE_BITS:
+        d, axis = 1 << flat_bit, 1
+    else:
+        d, axis = 1 << (flat_bit - LANE_BITS), 0
+    size = x.shape[axis]
+    # shift must be i32 (under x64, a python int would bind as i64)
+    fwd = pltpu.roll(x, jnp.int32(size - d), axis)  # x[pos + d]
+    bwd = pltpu.roll(x, jnp.int32(d), axis)  # x[pos - d]
+    return jnp.where(hi_mask, bwd, fwd)
+
+
+def _lex_lt(xs, ps, ncmp: int):
+    """ps <_lex xs on the first ncmp words (unsigned)."""
+    lt = ps[ncmp - 1] < xs[ncmp - 1]
+    for w in range(ncmp - 2, -1, -1):
+        lt = (ps[w] < xs[w]) | ((ps[w] == xs[w]) & lt)
+    return lt
+
+
+def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
+    rows = sweep.tile_elems >> LANE_BITS
+    shape = (rows, 128)
+
+    def kernel(*refs):
+        ins, outs = refs[:nwords], refs[nwords:]
+        xs = [r[0, :, 0, :, :].reshape(shape) for r in ins]
+        a = pl.program_id(0)
+        b = pl.program_id(1)
+        # note: masks are deliberately recomputed per substage — caching them
+        # across the ~170 substages of a local sweep extends live ranges and
+        # costs ~20% (measured on v5e) in spills
+        for k, j in sweep.substages:
+            fb = sweep.tile_bit(j)
+            hbit = _flat_bit_vec(shape, fb)
+            ps = [_partner(x, fb, hbit == 1) for x in xs]
+            # keep_min = NOT(high side) XOR descending — int32 algebra
+            kind, bit = sweep.dir_spec(k)
+            if kind == "tile":
+                desc = _flat_bit_vec(shape, bit)
+            else:
+                desc = ((a if kind == "a" else b) >> bit) & 1  # scalar 0/1
+            km = ((1 - hbit) ^ desc) == 1
+            # swap iff (partner < self) == keep_min. A single compare chain
+            # suffices because tie-swaps are harmless under the sort_words
+            # word contract (ties imply bit-identical word tuples): with a
+            # stability index in cmp, tuples are distinct; without one there
+            # are no carry words, so swapping equal cmp tuples is a no-op.
+            swap = km == _lex_lt(xs, ps, ncmp)
+            xs = [jnp.where(swap, p, x) for x, p in zip(xs, ps)]
+        g_dim = 1 << sweep.g
+        c_rows = (1 << sweep.c) >> LANE_BITS
+        for o, x in zip(outs, xs):
+            o[0, :, 0, :, :] = x.reshape(g_dim, c_rows, 128)
+
+    return kernel
+
+
+def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool):
+    nwords = len(words)
+    A, B = sweep.grid()
+    g_dim = 1 << sweep.g
+    c_rows = (1 << sweep.c) >> LANE_BITS
+    view = (A, g_dim, B, c_rows, 128)
+    block = (1, g_dim, 1, c_rows, 128)
+    # literal zeros must be int32: under jax_enable_x64 plain `0` traces as
+    # i64, which Mosaic's index-map lowering rejects
+    zero = np.int32(0)
+    spec = pl.BlockSpec(block, lambda a, b: (a, zero, b, zero, zero))
+    kernel = make_sweep_kernel(sweep, nwords, ncmp)
+    shaped = [w.reshape(view) for w in words]
+    from jax.experimental.pallas import tpu as pltpu
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=(A, B),
+        in_specs=[spec] * nwords,
+        out_specs=tuple([spec] * nwords),
+        out_shape=tuple(jax.ShapeDtypeStruct(view, jnp.uint32) for _ in range(nwords)),
+        compiler_params=params,
+        interpret=interpret,
+    )(*shaped)
+    out = out if isinstance(out, (tuple, list)) else (out,)
+    return [o.reshape(-1) for o in out]
+
+
+# ---------------------------------------------------------------------------
+# Word packing
+# ---------------------------------------------------------------------------
+
+
+def _ceil_log2(n: int) -> int:
+    return max(int(math.ceil(math.log2(max(n, 1)))), 0)
+
+
+def split_u64(x):
+    """u64 array -> (hi, lo) u32 words via shifts (TPU-safe; no 64-bit bitcast)."""
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    return hi, lo
+
+
+def join_u64(hi, lo):
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def array_to_words(a) -> tuple[list, dict]:
+    """Decompose an array (leading axis n) into uint32 words + recipe."""
+    dtype = np.dtype(a.dtype)
+    if a.ndim == 1:
+        if dtype.itemsize == 8:
+            if dtype.kind == "f":
+                # f64 keys never reach the device path on TPU (sort.py guards);
+                # on CPU x64 the bitcast is exact.
+                u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+                return [u[..., 1], u[..., 0]], {"kind": "64f", "dtype": dtype}
+            # i64 -> u64 astype is the two's-complement reinterpretation
+            hi, lo = split_u64(a if dtype.kind == "u" else a.astype(jnp.uint64))
+            return [hi, lo], {"kind": "64", "dtype": dtype}
+        if dtype.itemsize == 4:
+            return [_bitcast_u32(a)], {"kind": "32", "dtype": dtype}
+        if dtype.itemsize < 4:
+            # widen 8/16-bit payloads losslessly
+            u = a.astype(jnp.uint32 if dtype.kind in "ui" else jnp.float32)
+            return [_bitcast_u32(u)], {"kind": "narrow", "dtype": dtype}
+        raise TypeError(f"unsupported payload dtype {dtype}")
+    if a.ndim == 2 and dtype.itemsize == 4:
+        return [_bitcast_u32(a[:, i]) for i in range(a.shape[1])], {
+            "kind": "2d32", "dtype": dtype, "cols": a.shape[1]}
+    raise TypeError(f"unsupported payload array: shape {a.shape} dtype {dtype}")
+
+
+def _bitcast_u32(a):
+    if np.dtype(a.dtype) == np.uint32:
+        return a
+    return jax.lax.bitcast_convert_type(a, jnp.uint32)
+
+
+def words_to_array(words: list, recipe: dict):
+    dtype = recipe["dtype"]
+    kind = recipe["kind"]
+    if kind == "64f":
+        w = jnp.stack([words[1], words[0]], axis=-1)
+        return jax.lax.bitcast_convert_type(w, jnp.float64)
+    if kind == "64":
+        u = join_u64(words[0], words[1])
+        return u.astype(dtype) if dtype.kind != "u" else u
+    if kind == "32":
+        return _bitcast_from_u32(words[0], dtype)
+    if kind == "narrow":
+        wide = _bitcast_from_u32(words[0], np.dtype(np.uint32) if dtype.kind in "ui" else np.dtype(np.float32))
+        return wide.astype(dtype)
+    if kind == "2d32":
+        return jnp.stack([_bitcast_from_u32(w, dtype) for w in words], axis=1)
+    raise AssertionError(kind)
+
+
+def _bitcast_from_u32(w, dtype):
+    dtype = np.dtype(dtype)
+    if dtype == np.uint32:
+        return w
+    return jax.lax.bitcast_convert_type(w, dtype)
+
+
+def bits_to_cmp_words(bits, start_bit: int, end_bit: int) -> list:
+    """Window-extracted key bits -> list of u32 compare words (hi first)."""
+    window = common.window_values(bits, start_bit, end_bit)
+    width = end_bit - start_bit
+    if np.dtype(window.dtype) == np.uint32:
+        return [window]
+    if width <= 32:
+        return [window.astype(jnp.uint32)]
+    hi, lo = split_u64(window)
+    return [hi, lo]
+
+
+# ---------------------------------------------------------------------------
+# Engine entry
+# ---------------------------------------------------------------------------
+
+_PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
+
+
+def _tile_bits_for(nwords: int, L: int) -> int:
+    # in+out double-buffered: ~4 buffers/word of 4B each
+    budget_elems = _PAD_TARGET_BYTES // (16 * max(nwords, 1))
+    return max(MIN_L, min(18, int(math.floor(math.log2(budget_elems))), L))
+
+
+def sort_words(cmp_words: list, carry_words: list, *, interpret: bool = False):
+    """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
+
+    Returns (cmp_words, carry_words) reordered. Input words must share length.
+
+    Contract: either the cmp tuples are all distinct (e.g. include an index
+    word), or carry_words is such that equal-cmp elements are bit-identical
+    in every word (e.g. empty). The network swaps ties freely.
+    """
+    n = cmp_words[0].shape[0]
+    if n <= 1:
+        return cmp_words, carry_words
+    L = max(_ceil_log2(n), MIN_L)
+    n_pad = 1 << L
+    ncmp = len(cmp_words)
+    words = [common.pad_to_multiple(w, n_pad, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
+    words += [common.pad_to_multiple(w, n_pad, jnp.uint32(0)) for w in carry_words]
+    nwords = len(words)
+
+    tile_bits = _tile_bits_for(nwords, L)
+    chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
+    for sweep in plan_sweeps(L, tile_bits, chunk_bits):
+        words = run_sweep(words, sweep, ncmp, interpret)
+    words = [w[:n] for w in words]
+    return words[:ncmp], words[ncmp:]
+
+
+def sort_arrays_bitonic(bits, arrays, start_bit, end_bit, *,
+                        unstable_ok: bool = False, interpret: bool = False):
+    """Engine entry: stable sort of ``arrays`` by ``bits[start:end)`` window.
+
+    ``unstable_ok=True`` skips the stability index word — only valid when the
+    caller guarantees equal-window elements are indistinguishable (keys-only,
+    full-width sort).
+    """
+    n = bits.shape[0]
+    if n <= 1:
+        return list(arrays)
+    cmp_words = bits_to_cmp_words(bits, start_bit, end_bit)
+    if not unstable_ok:
+        if n >= (1 << 32):
+            raise ValueError("stable pallas sort supports n < 2**32")
+        cmp_words.append(jnp.arange(n, dtype=jnp.uint32))
+    carry_words = []
+    recipes = []
+    for a in arrays:
+        ws, recipe = array_to_words(a)
+        recipe["nwords"] = len(ws)
+        carry_words.extend(ws)
+        recipes.append(recipe)
+    cmp_out, carry_out = sort_words(cmp_words, carry_words, interpret=interpret)
+    out = []
+    pos = 0
+    for recipe in recipes:
+        k = recipe["nwords"]
+        out.append(words_to_array(carry_out[pos:pos + k], recipe))
+        pos += k
+    return out

@@ -1,14 +1,139 @@
-"""Pallas TPU radix-sort pipeline (the single-chip speed path).
+"""Pallas TPU engine front-end: semantics-aware word packing for the bitonic
+sort-merge core (:mod:`.bitonic_engine`).
 
-Placeholder delegating to the counting engine; replaced by real Pallas kernels
-(histogram / scan / stable reorder) in this round — see ops/counting_engine.py
-for the pass structure the kernels implement.
+This layer decides the minimal set of uint32 words the network must move for
+a given request — the TPU analogue of the reference's compile-time
+specialization per (key type, value type, order) (reference:
+tinyhipradixsort.hpp:751-804):
+
+* integer keys, full window, keys-only: sort the transformed bits alone
+  (1 word, no stability index — equal bits imply identical keys) and rebuild
+  the keys by inverting the order-preserving transform.
+* float keys: the transform collapses -0.0/+0.0, so the original key word is
+  carried and a stability index keeps the zero-run in input order (bit-exact
+  vs the reference, which reorders raw keys; kernel.cu:56-57).
+* pairs / indices / bit windows: window bits + stability index as compare
+  words; payload leaves ride as carry words.
 """
 
 from __future__ import annotations
 
-from . import counting_engine
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import keybits
+from . import bitonic_engine, common
 
 
-def sort_arrays_pallas(bits, arrays, start_bit, end_bit):
-    return counting_engine.sort_arrays_counting(bits, arrays, start_bit, end_bit)
+def _interpret_default() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except RuntimeError:
+        return True
+
+
+def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
+                       unstable_ok=False, interpret=None):
+    """Generic engine interface (same contract as the other engines)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return bitonic_engine.sort_arrays_bitonic(
+        bits, arrays, start_bit, end_bit,
+        unstable_ok=unstable_ok, interpret=interpret)
+
+
+def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
+                   interpret=None):
+    """Full-semantics sort returning outputs per ``want`` with minimal words.
+
+    ``want``: subset tuple of ("keys", "values", "indices"); ``values`` is a
+    flat list of array leaves (leading axis n).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = keys.shape[0]
+    dtype = np.dtype(keys.dtype)
+    width = dtype.itemsize * 8
+    full = start_bit == 0 and end_bit == width
+    bits = keybits.key_bits(keys, descending=descending)
+    cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
+
+    keys_from_bits = full and dtype.kind in "iu"
+    need_keys_carry = ("keys" in want) and not keys_from_bits
+    need_vals = "values" in want
+    need_idx_out = "indices" in want
+    stable_needed = need_vals or need_idx_out or need_keys_carry
+    if n > 1:
+        if stable_needed:
+            if n >= (1 << 32):
+                raise ValueError("pallas sort supports n < 2**32")
+            cmp_words = cmp_words + [jnp.arange(n, dtype=jnp.uint32)]
+
+        carry_words, recipes = [], []
+        if need_keys_carry:
+            ws, recipe = bitonic_engine.array_to_words(keys)
+            recipe["nwords"] = len(ws)
+            carry_words.extend(ws)
+            recipes.append(recipe)
+        if need_vals:
+            for leaf in values:
+                ws, recipe = bitonic_engine.array_to_words(leaf)
+                recipe["nwords"] = len(ws)
+                carry_words.extend(ws)
+                recipes.append(recipe)
+
+        cmp_out, carry_out = bitonic_engine.sort_words(
+            cmp_words, carry_words, interpret=interpret)
+    else:
+        cmp_out, carry_out, recipes = cmp_words, None, None
+
+    result = []
+    pos = 0
+    rpos = 0
+    if "keys" in want:
+        if n <= 1:
+            result.append(keys)
+        elif keys_from_bits:
+            nk = len(bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit))
+            sorted_bits = _join_cmp(cmp_out[:nk], dtype, start_bit, end_bit, bits.dtype)
+            result.append(keybits.key_bits_inverse(
+                sorted_bits, dtype, descending=descending))
+        else:
+            k = recipes[rpos]["nwords"]
+            result.append(bitonic_engine.words_to_array(
+                carry_out[pos:pos + k], recipes[rpos]))
+            pos += k
+            rpos += 1
+    if "values" in want:
+        if n <= 1:
+            result.append(list(values))
+        else:
+            leaves = []
+            for _ in values:
+                k = recipes[rpos]["nwords"]
+                leaves.append(bitonic_engine.words_to_array(
+                    carry_out[pos:pos + k], recipes[rpos]))
+                pos += k
+                rpos += 1
+            result.append(leaves)
+    if "indices" in want:
+        idx_dt = jnp.int32 if n < 2**31 else jnp.int64
+        if n <= 1:
+            result.append(jnp.arange(n, dtype=idx_dt))
+        else:
+            result.append(cmp_out[-1].astype(idx_dt))
+    return tuple(result)
+
+
+def _join_cmp(cmp_words, key_dtype, start_bit, end_bit, bits_dtype):
+    """Rebuild full-width transformed bits from sorted compare words.
+
+    Only used when the window is full-width (keys_from_bits), so the words
+    are exactly the hi/lo split (or the single word) of the bits.
+    """
+    if np.dtype(bits_dtype) == np.uint32:
+        return cmp_words[0]
+    if len(cmp_words) == 2:
+        return bitonic_engine.join_u64(cmp_words[0], cmp_words[1])
+    return cmp_words[0].astype(jnp.uint64)

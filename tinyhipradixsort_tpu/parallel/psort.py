@@ -1,0 +1,376 @@
+"""Distributed stable sort over a 1-D device mesh (shard_map + collectives).
+
+All new design (the reference is single-GPU; SURVEY.md §2/§7.5). Algorithm —
+sample sort with index-tie-broken splitters, expressed TPU-natively with
+static shapes throughout:
+
+0. **Stride pre-exchange**: one exact ``all_to_all`` redistributes the
+   contiguous input shards so each chip holds P spread sub-blocks of the
+   global array. Combined with step 2's index tie-break this bounds every
+   (src,dst) exchange segment near ``B/P`` even for already-sorted,
+   constant, or Zipf-skewed keys — the static-capacity analogue of a ragged
+   all_to_all.
+1. **Local sort** of the shard (Pallas bitonic engine on TPU,
+   ``jnp.lexsort`` elsewhere). The compare tuple always ends with the
+   original global index word, so local sorts are stable and all tuples are
+   globally distinct.
+2. **Splitters**: each chip all_gathers ``oversample*P`` evenly spaced
+   sample tuples from its sorted shard; a replicated lexsort of the sample
+   picks the P-1 global splitter tuples. Ties in key split by original
+   index — equal-key masses spread evenly over destination chips.
+3. **Partition**: local cuts = vectorized binary search of splitter tuples
+   in the sorted shard.
+4. **Exchange**: one ``all_to_all`` of static ``(P, cap)`` sentinel-padded
+   buffers per word (cap ≈ slack*B/P); segment lengths ride along; a
+   replicated overflow flag reports capacity violations (regular sampling
+   bounds the violation probability; cf. PAPERS.md "Histogram Sort with
+   Sampling").
+5. **Merge**: local sort of the received padded buffer (sentinels sink to
+   the tail).
+6. **Boundary rebalance**: exact output ranks from an all_gather of counts;
+   each chip keeps the bulk of its run locally (a static-size dynamic
+   slice) and ships only the boundary pieces — whose size is bounded by the
+   splitter drift ≤ B/oversample — through a small second all_to_all; a
+   final local sort compacts. Output: exactly B elements per chip, i.e.
+   the input's own sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import keybits
+from ..config import SortOrder
+from ..ops import bitonic_engine
+
+AXIS = "shards"
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def make_sort_mesh(devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# word-tuple helpers (shard-local)
+# ---------------------------------------------------------------------------
+
+
+def _tuple_lt(a_words, b_words):
+    """a <lex b for equal-length lists of u32 arrays (broadcasting ok)."""
+    lt = a_words[-1] < b_words[-1]
+    for aw, bw in zip(reversed(a_words[:-1]), reversed(b_words[:-1])):
+        lt = (aw < bw) | ((aw == bw) & lt)
+    return lt
+
+
+def _local_sort_words(cmp_words, carry_words, method: str):
+    if method == "pallas":
+        return bitonic_engine.sort_words(list(cmp_words), list(carry_words))
+    # lexsort is stable; primary key must come last
+    perm = jnp.lexsort(tuple(reversed(cmp_words)))
+    return ([w[perm] for w in cmp_words], [w[perm] for w in carry_words])
+
+
+def _searchsorted_words(sorted_words, query_words):
+    """Left insertion points of query tuples in sorted word tuples.
+
+    sorted_words: list of (B,) u32; query_words: list of (Q,) u32.
+    """
+    B = sorted_words[0].shape[0]
+    Q = query_words[0].shape[0]
+    lo = jnp.zeros((Q,), jnp.int32)
+    hi = jnp.full((Q,), B, jnp.int32)
+    steps = max(int(math.ceil(math.log2(max(B, 1)))) + 1, 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_c = jnp.minimum(mid, B - 1)
+        vals = [w[mid_c] for w in sorted_words]
+        go_right = _tuple_lt(vals, query_words) & (mid < B)  # sorted[mid] < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _pad_rows(w, cuts, lens, cap, fill):
+    """(P, cap) buffer: row q = w[cuts[q] : cuts[q]+lens[q]] sentinel-padded.
+    w must carry >= cap trailing slack elements (so slices stay in bounds)."""
+
+    def row(q):
+        chunk = jax.lax.dynamic_slice(w, (cuts[q],), (cap,))
+        keep = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) < lens[q]
+        return jnp.where(keep, chunk, fill)
+
+    return jax.vmap(row)(jnp.arange(cuts.shape[0] - 1, dtype=jnp.int32))
+
+
+def _a2a(x):
+    return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
+
+
+def _exchange(words, ncmp, cuts, lens, cap):
+    """all_to_all one padded (P, cap) buffer per word; returns flattened
+    words (P*cap,) and the received per-source lengths (P,)."""
+    P_ = lens.shape[0]
+    recv = []
+    for i, w in enumerate(words):
+        fill = SENTINEL if i < ncmp else jnp.uint32(0)
+        slack = jnp.full((cap,), fill, jnp.uint32)
+        send = _pad_rows(jnp.concatenate([w, slack]), cuts, lens, cap, fill)
+        recv.append(_a2a(send).reshape(-1))
+    recv_lens = _a2a(lens.reshape(P_, 1)).reshape(-1)
+    # truncated overflow rows may carry stale values past their sent length:
+    # re-mask so stray data cannot corrupt the merge
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (P_, cap), 1)
+             < recv_lens[:, None]).reshape(-1)
+    recv = [jnp.where(valid, w, SENTINEL if i < ncmp else jnp.uint32(0))
+            for i, w in enumerate(recv)]
+    return recv, recv_lens
+
+
+# ---------------------------------------------------------------------------
+# the shard-local pipeline
+# ---------------------------------------------------------------------------
+
+
+def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
+    """Runs inside shard_map; all words are (B,) u32 local shards.
+
+    The last cmp word must be the original global index (distinct tuples).
+    Returns (cmp_words, carry_words, overflow): exactly B sorted elements
+    per chip — chip p holds global sorted ranks [p*B, (p+1)*B).
+    """
+    me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+    B = cmp_words[0].shape[0]
+    ncmp = len(cmp_words)
+    nwords = ncmp + len(carry_words)
+
+    # 0. stride pre-exchange: sub-block j of every chip -> chip j
+    words = [(_a2a(w.reshape(P_, B // P_))).reshape(-1)
+             for w in list(cmp_words) + list(carry_words)]
+
+    # 1. local stable sort
+    cmp_words, carry_words = _local_sort_words(
+        words[:ncmp], words[ncmp:], method)
+
+    # 2. sample + replicated splitter selection
+    s = min(B, oversample * P_)
+    pos = np.asarray([(i * B) // s for i in range(s)], np.int32)
+    samples = [jax.lax.all_gather(w[pos], AXIS).reshape(-1)
+               for w in cmp_words]  # each (P*s,)
+    order = jnp.lexsort(tuple(reversed(samples)))
+    ranks = np.asarray([q * (P_ * s) // P_ for q in range(1, P_)], np.int32)
+    sel = order[ranks]
+    splitters = [w[sel] for w in samples]  # (P-1,) per cmp word
+
+    # 3. cuts (distinct tuples: left == right insertion point)
+    cut = _searchsorted_words(cmp_words, splitters)
+    cuts = jnp.concatenate([jnp.zeros((1,), jnp.int32), cut,
+                            jnp.full((1,), B, jnp.int32)])
+    seg = cuts[1:] - cuts[:-1]
+    overflow = jnp.any(seg > cap)
+
+    # 4. main exchange
+    recv, recv_lens = _exchange(list(cmp_words) + list(carry_words), ncmp,
+                                cuts, jnp.minimum(seg, cap), cap)
+
+    # 5. merge
+    cmp_words, carry_words = _local_sort_words(recv[:ncmp], recv[ncmp:], method)
+    count = jnp.sum(recv_lens).astype(jnp.int32)
+    buflen = P_ * cap
+
+    # 6. boundary rebalance to exactly B per chip
+    counts = jax.lax.all_gather(count, AXIS)  # (P,)
+    start_me = (jnp.cumsum(counts) - counts)[me]
+    tgt = jnp.arange(P_ + 1, dtype=jnp.int32) * B
+    cuts3 = jnp.clip(tgt - start_me, 0, count)
+    seg3 = cuts3[1:] - cuts3[:-1]
+    # the piece destined to myself stays local (it can be ~B long); only the
+    # boundary drift travels
+    remote = jnp.arange(P_, dtype=jnp.int32) != me
+    send3 = jnp.where(remote, jnp.minimum(seg3, cap3), 0)
+    overflow = overflow | jnp.any(remote & (seg3 > cap3))
+    recv3, _ = _exchange(list(cmp_words) + list(carry_words), ncmp,
+                         cuts3, send3, cap3)
+
+    k0, k1 = cuts3[me], cuts3[me + 1]
+    kept_mask_len = k1 - k0
+    final_words = []
+    for i, w in enumerate(list(cmp_words) + list(carry_words)):
+        fill = SENTINEL if i < ncmp else jnp.uint32(0)
+        slack = jnp.full((B,), fill, jnp.uint32)
+        kept = jax.lax.dynamic_slice(jnp.concatenate([w, slack]), (k0,), (B,))
+        keep = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) < kept_mask_len
+        kept = jnp.where(keep, kept, fill)
+        final_words.append(jnp.concatenate([kept, recv3[i]]))
+
+    cmp_words, carry_words = _local_sort_words(
+        final_words[:ncmp], final_words[ncmp:], method)
+    cmp_words = tuple(w[:B] for w in cmp_words)
+    carry_words = tuple(w[:B] for w in carry_words)
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), AXIS) > 0
+    return cmp_words, carry_words, overflow
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _resolve_local_method(method: str) -> str:
+    if method != "auto":
+        return method
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "lexsort"
+    except RuntimeError:
+        return "lexsort"
+
+
+def _pad_global(x, n_pad, fill):
+    n = x.shape[0]
+    if n == n_pad:
+        return x
+    pad = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "descending", "method", "oversample", "slack", "want", "check"))
+def _psort_entry(keys, values, *, mesh, descending, method, oversample,
+                 slack, want, check):
+    P_ = mesh.shape[AXIS]
+    n = keys.shape[0]
+    if n >= (1 << 32):
+        raise ValueError("psort supports n < 2**32")
+    quantum = P_ * max(P_, 8)  # B divisible by P (stride) and 8
+    n_pad = -(-max(n, quantum) // quantum) * quantum
+    B = n_pad // P_
+
+    bits = keybits.key_bits(keys, descending=descending)
+    dtype = np.dtype(keys.dtype)
+    cmp_words = bitonic_engine.bits_to_cmp_words(bits, 0, dtype.itemsize * 8)
+    cmp_words = [_pad_global(w, n_pad, SENTINEL) for w in cmp_words]
+    # global-index word: stability tie-break, splitter balance, and the
+    # indices output all in one (pad indices sort to the global tail)
+    cmp_words.append(_pad_global(jnp.arange(n, dtype=jnp.uint32), n_pad,
+                                 SENTINEL))
+    ncmp = len(cmp_words)
+
+    keys_from_bits = dtype.kind in "iu"
+    need_keys_carry = ("keys" in want) and not keys_from_bits
+
+    carry_words, recipes = [], []
+    if need_keys_carry:
+        ws, recipe = bitonic_engine.array_to_words(keys)
+        recipe["nwords"] = len(ws)
+        carry_words += [_pad_global(w, n_pad, jnp.uint32(0)) for w in ws]
+        recipes.append(recipe)
+    if "values" in want:
+        for leaf in values:
+            ws, recipe = bitonic_engine.array_to_words(leaf)
+            recipe["nwords"] = len(ws)
+            carry_words += [_pad_global(w, n_pad, jnp.uint32(0)) for w in ws]
+            recipes.append(recipe)
+
+    cap = int(math.ceil(slack * B / P_)) + 8
+    cap3 = min(int(math.ceil(4.0 * B / oversample)) + 16, B)
+
+    shard = functools.partial(
+        _psort_shard, P_=P_, cap=cap, cap3=cap3,
+        method=_resolve_local_method(method), oversample=oversample)
+    spec_w = P(AXIS)
+    fn = jax.shard_map(
+        lambda c, k: shard(c, k),
+        mesh=mesh,
+        in_specs=(tuple([spec_w] * ncmp), tuple([spec_w] * len(carry_words))),
+        out_specs=(tuple([spec_w] * ncmp), tuple([spec_w] * len(carry_words)),
+                   P()),
+        check_vma=False,
+    )
+    cmp_out, carry_out, overflow = fn(tuple(cmp_words), tuple(carry_words))
+    cmp_out, carry_out = list(cmp_out), list(carry_out)
+
+    result = []
+    pos = rpos = 0
+    if "keys" in want:
+        if keys_from_bits:
+            if np.dtype(bits.dtype) == np.uint32:
+                sbits = cmp_out[0]
+            else:
+                sbits = bitonic_engine.join_u64(cmp_out[0], cmp_out[1])
+            result.append(keybits.key_bits_inverse(
+                sbits, dtype, descending=descending)[:n])
+        else:
+            k = recipes[rpos]["nwords"]
+            result.append(bitonic_engine.words_to_array(
+                [w[:n] for w in carry_out[pos:pos + k]], recipes[rpos]))
+            pos += k
+            rpos += 1
+    if "values" in want:
+        leaves = []
+        for _ in values:
+            k = recipes[rpos]["nwords"]
+            leaves.append(bitonic_engine.words_to_array(
+                [w[:n] for w in carry_out[pos:pos + k]], recipes[rpos]))
+            pos += k
+            rpos += 1
+        result.append(leaves)
+    if "indices" in want:
+        idx_dt = jnp.int32 if n < 2**31 else jnp.int64
+        result.append(cmp_out[-1][:n].astype(idx_dt))
+    if check:
+        result.append(overflow)
+    return tuple(result)
+
+
+def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
+               oversample=32, slack=2.0, check=False):
+    """Globally sorted keys over the mesh axis; same global shape as input.
+
+    The result is sharded contiguously over the mesh: chip p holds global
+    ranks [p*n/P, (p+1)*n/P). With ``check=True`` also returns a boolean
+    overflow flag (True means a splitter segment exceeded the static
+    capacity and elements were dropped — raise ``slack``/``oversample``
+    and retry).
+    """
+    mesh = mesh or make_sort_mesh()
+    keys = jnp.asarray(keys)
+    descending = SortOrder.parse(order).descending
+    out = _psort_entry(keys, (), mesh=mesh, descending=descending,
+                       method=method, oversample=oversample, slack=slack,
+                       want=("keys",), check=check)
+    return out if check else out[0]
+
+
+def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
+                oversample=32, slack=2.0, check=False):
+    """Distributed stable key-value sort; values may be a pytree."""
+    mesh = mesh or make_sort_mesh()
+    keys = jnp.asarray(keys)
+    values = jax.tree.map(jnp.asarray, values)
+    leaves, treedef = jax.tree.flatten(values)
+    descending = SortOrder.parse(order).descending
+    out = _psort_entry(keys, tuple(leaves), mesh=mesh, descending=descending,
+                       method=method, oversample=oversample, slack=slack,
+                       want=("keys", "values"), check=check)
+    k, v = out[0], jax.tree.unflatten(treedef, out[1])
+    return (k, v, out[2]) if check else (k, v)
+
+
+def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
+                  oversample=32, slack=2.0, check=False):
+    """Distributed stable argsort (global permutation, sharded)."""
+    mesh = mesh or make_sort_mesh()
+    keys = jnp.asarray(keys)
+    descending = SortOrder.parse(order).descending
+    out = _psort_entry(keys, (), mesh=mesh, descending=descending,
+                       method=method, oversample=oversample, slack=slack,
+                       want=("indices",), check=check)
+    return out if check else out[0]

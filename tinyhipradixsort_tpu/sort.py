@@ -77,11 +77,7 @@ def _sort_arrays(bits, arrays, start_bit, end_bit, method):
 def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want):
     """want: subset of {'keys','values','indices'} controlling outputs."""
     n = keys.shape[0]
-    bits = keybits.key_bits(keys, descending=descending)
-    arrays = []
-    if "keys" in want:
-        arrays.append(keys)
-    leaves = []
+    leaves, treedef = [], None
     if "values" in want:
         leaves, treedef = jax.tree.flatten(values)
         for leaf in leaves:
@@ -89,7 +85,30 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want):
                 raise ValueError(
                     f"value leading axis {leaf.shape[:1]} != keys length {n}"
                 )
-        arrays.extend(leaves)
+
+    if method == "pallas":
+        from .ops import pallas_engine
+
+        out = pallas_engine.sort_semantics(
+            keys, leaves, descending=descending, start_bit=start_bit,
+            end_bit=end_bit, want=want)
+        result = []
+        pos = 0
+        if "keys" in want:
+            result.append(out[pos])
+            pos += 1
+        if "values" in want:
+            result.append(jax.tree.unflatten(treedef, out[pos]))
+            pos += 1
+        if "indices" in want:
+            result.append(out[pos])
+        return tuple(result)
+
+    bits = keybits.key_bits(keys, descending=descending)
+    arrays = []
+    if "keys" in want:
+        arrays.append(keys)
+    arrays.extend(leaves)
     if "indices" in want:
         idx_dt = jnp.int32 if n < 2**31 else jnp.int64
         arrays.append(jnp.arange(n, dtype=idx_dt))
