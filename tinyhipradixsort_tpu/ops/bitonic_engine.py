@@ -350,6 +350,9 @@ _PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
 def _tile_bits_for(nwords: int, L: int) -> int:
     # in+out double-buffered: ~4 buffers/word of 4B each
     budget_elems = _PAD_TARGET_BYTES // (16 * max(nwords, 1))
+    # cap at 2**18: the local-sort kernel's substage count grows with tile
+    # size and Mosaic compile time grows superlinearly (2**19 exceeded 15 min
+    # on v5e vs ~4 min for 2**18; runtime gain would have been <10%)
     return max(MIN_L, min(18, int(math.floor(math.log2(budget_elems))), L))
 
 
