@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Full benchmark table — the reference's workload matrix on TPU.
+
+Covers the reference bench workloads (unittest.cpp:490-685, main.cpp,
+cudaEnv.cu) translated to this machine: keys-only and key-value sorts across
+dtypes and sizes, with `jnp.sort`/`jnp.argsort` as the in-ecosystem
+comparison column (the role cub::DeviceRadixSort plays in the reference).
+
+Usage: python benchmarks/full.py [--sizes 1M,16M,256M] [--reps 3]
+Writes a markdown table to stdout and benchmarks/results.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import tinyhipradixsort_tpu as thrs  # noqa: E402
+from tinyhipradixsort_tpu.utils.profiling import time_fn  # noqa: E402
+
+SIZES = {"1M": 1 << 20, "16M": 1 << 24, "64M": 1 << 26, "256M": 1 << 28}
+
+
+def gen(dtype, n, rng):
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f":
+        return rng.standard_normal(n).astype(dtype)
+    return rng.integers(0, np.iinfo(dtype).max, size=n, dtype=dtype,
+                        endpoint=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1M,16M,256M")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--method", default=None)
+    args = ap.parse_args()
+    platform = jax.devices()[0].platform
+    method = args.method or ("pallas" if platform == "tpu" else "argsort")
+    rng = np.random.default_rng(0)
+
+    workloads = []
+    for label in args.sizes.split(","):
+        n = SIZES[label.strip()]
+        workloads += [
+            (f"sort_keys u32 {label}", np.uint32, n, False),
+            (f"sort_keys f32 {label}", np.float32, n, False),
+            (f"sort_keys u64 {label}", np.uint64, n, False),
+            (f"sort_pairs u32+u32 {label}", np.uint32, n, True),
+        ]
+
+    results = []
+    print(f"| workload | this engine | jnp.sort | ratio |")
+    print(f"|---|---|---|---|")
+    for name, dtype, n, pairs in workloads:
+        if np.dtype(dtype).itemsize * n * (4 if pairs or dtype == np.uint64 else 3) > 12e9:
+            continue  # HBM guard
+        keys = jax.device_put(jnp.asarray(gen(dtype, n, rng)))
+        if pairs:
+            vals = jax.device_put(jnp.arange(n, dtype=jnp.uint32))
+            ours = jax.jit(lambda k, v: thrs.sort_pairs(k, v, method=method))
+            ref = jax.jit(lambda k, v: (jnp.sort(k), v[jnp.argsort(k, stable=True)]))
+            t_ours, _ = time_fn(ours, keys, vals, reps=args.reps)
+            t_ref, _ = time_fn(ref, keys, vals, reps=args.reps)
+        else:
+            ours = jax.jit(lambda k: thrs.sort_keys(k, method=method))
+            ref = jax.jit(jnp.sort)
+            t_ours, _ = time_fn(ours, keys, reps=args.reps)
+            t_ref, _ = time_fn(ref, keys, reps=args.reps)
+        row = {"workload": name, "n": n, "ours_s": round(t_ours, 5),
+               "jnp_s": round(t_ref, 5),
+               "ours_keys_per_s": round(n / max(t_ours, 1e-9), 1),
+               "speedup_vs_jnp": round(t_ref / max(t_ours, 1e-9), 2)}
+        results.append(row)
+        print(f"| {name} | {n/max(t_ours,1e-9)/1e9:.3f} Gkeys/s "
+              f"| {n/max(t_ref,1e-9)/1e9:.3f} Gkeys/s "
+              f"| {row['speedup_vs_jnp']:.2f}x |", flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    with open(out, "w") as f:
+        json.dump({"platform": platform, "method": method,
+                   "results": results}, f, indent=1)
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,22 @@ def test_float_zero_run_bit_exact():
     got = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas"))
     order = np.argsort(thrs.np_key_bits(x), kind="stable")
     np.testing.assert_array_equal(got.view(np.uint32), x[order].view(np.uint32))
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 1023, 1024, 1025])
+def test_edge_sizes_pallas(n):
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas"))
+    np.testing.assert_array_equal(got, np.sort(x))
+    v = np.arange(n, dtype=np.uint32)
+    k, vv = thrs.sort_pairs(jnp.asarray(x), jnp.asarray(v), method="pallas")
+    p = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(np.asarray(vv), v[p])
+
+
+def test_float_specials_pallas():
+    x = np.array([np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-40,
+                  -1e-40, 3.5, -3.5] * 30, dtype=np.float32)
+    got = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas"))
+    want = oracles.oracle_sort_keys(x)
+    np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
