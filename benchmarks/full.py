@@ -61,20 +61,35 @@ def main():
     for name, dtype, n, pairs in workloads:
         if np.dtype(dtype).itemsize * n * (4 if pairs or dtype == np.uint64 else 3) > 12e9:
             continue  # HBM guard
+        # amortize the ~30 ms dispatch floor for small n by chaining the sort
+        # inside one jit — valid timing because bitonic is data-oblivious
+        # (sorting sorted data costs the same)
+        loops = min(max(1, (1 << 25) // n), 32)
         keys = jax.device_put(jnp.asarray(gen(dtype, n, rng)))
+
+        def repeat(fn):
+            def run(*xs):
+                def body(_, c):
+                    r = fn(*c)
+                    return r if isinstance(r, tuple) else (r,)
+                return jax.lax.fori_loop(0, loops, body, xs)
+            return jax.jit(run)
+
         if pairs:
             vals = jax.device_put(jnp.arange(n, dtype=jnp.uint32))
-            ours = jax.jit(lambda k, v: thrs.sort_pairs(k, v, method=method))
-            ref = jax.jit(lambda k, v: (jnp.sort(k), v[jnp.argsort(k, stable=True)]))
+            ours = repeat(lambda k, v: thrs.sort_pairs(k, v, method=method))
+            ref = repeat(lambda k, v: (jnp.sort(k), v[jnp.argsort(k, stable=True)]))
             t_ours, _ = time_fn(ours, keys, vals, reps=args.reps)
             t_ref, _ = time_fn(ref, keys, vals, reps=args.reps)
         else:
-            ours = jax.jit(lambda k: thrs.sort_keys(k, method=method))
-            ref = jax.jit(jnp.sort)
+            ours = repeat(lambda k: thrs.sort_keys(k, method=method))
+            ref = repeat(jnp.sort)
             t_ours, _ = time_fn(ours, keys, reps=args.reps)
             t_ref, _ = time_fn(ref, keys, reps=args.reps)
-        row = {"workload": name, "n": n, "ours_s": round(t_ours, 5),
-               "jnp_s": round(t_ref, 5),
+        t_ours /= loops
+        t_ref /= loops
+        row = {"workload": name, "n": n, "loops": loops,
+               "ours_s": round(t_ours, 6), "jnp_s": round(t_ref, 6),
                "ours_keys_per_s": round(n / max(t_ours, 1e-9), 1),
                "speedup_vs_jnp": round(t_ref / max(t_ours, 1e-9), 2)}
         results.append(row)

@@ -101,17 +101,33 @@ class Sweep:
         raise AssertionError(f"unreachable direction bit {k} for {self}")
 
 
-def plan_sweeps(L: int, tile_bits: int, chunk_bits: int) -> list[Sweep]:
+def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
+                rot: int = 0) -> list[Sweep]:
     """Greedy sweep plan for the full bitonic network on 2**L elements.
 
     tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
     low-bit chunk used by cross-stage (hyperblock) sweeps — also the DMA
     granularity (2**chunk_bits * 4B contiguous per DMA).
+
+    rot: storage bit rotation. The network is conjugated by the index bit
+    permutation sigma(x) = (x + rot) mod T for x < T = min(tile_bits, L)
+    (identity above), with the data physically stored at the bit-rotated
+    position (sort_words transposes on entry/exit). Rotating by 10 moves the
+    most frequent substages (low j — executed once per stage) onto
+    sublane-aligned flat bits where the cheap pair-split compare-exchange
+    applies, leaving the rare high-j substages on lane rolls: measured ~12%
+    end-to-end on 2**28 u32.
     """
     tile_bits = min(tile_bits, L)
     chunk_bits = min(chunk_bits, tile_bits)
     g_max = tile_bits - chunk_bits
-    subs = [(k, j) for k in range(1, L + 1) for j in range(k - 1, -1, -1)]
+    T = tile_bits
+
+    def sigma(x: int) -> int:
+        return (x + rot) % T if x < T else x
+
+    subs = [(sigma(k), sigma(j))
+            for k in range(1, L + 1) for j in range(k - 1, -1, -1)]
     sweeps: list[Sweep] = []
     pos = 0
     while pos < len(subs):
@@ -183,9 +199,58 @@ def _lex_lt(xs, ps, ncmp: int):
     return lt
 
 
+def _desc_mask_half(half_shape, rows: int, m: int, kf: int):
+    """Descending-direction mask of tile bit kf on the half-split view.
+
+    half_shape = (rows // (2*m), m, 128); original row = q*2m + h*m + r.
+    kf != fb (the CE bit), so it maps to a lane bit, an r bit, or a q bit.
+    """
+    if kf < LANE_BITS:
+        return _bit_vec(half_shape, 2, kf)
+    rb = kf - LANE_BITS  # bit of the original row index
+    mb = m.bit_length() - 1  # log2(m)
+    assert rb != mb, "direction bit cannot equal the CE bit"
+    if rb < mb:
+        return _bit_vec(half_shape, 1, rb)
+    return _bit_vec(half_shape, 0, rb - mb - 1)
+
+
 def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
     rows = sweep.tile_elems >> LANE_BITS
     shape = (rows, 128)
+
+    def substage_roll(xs, fb, desc):
+        """Lane-bit CE: partner via rolls (cross-lane movement)."""
+        hbit = _flat_bit_vec(shape, fb)
+        ps = [_partner(x, fb, hbit == 1) for x in xs]
+        km = ((1 - hbit) ^ desc) == 1
+        # swap iff (partner < self) == keep_min. A single compare chain
+        # suffices because tie-swaps are harmless under the sort_words word
+        # contract (ties imply bit-identical word tuples): with a stability
+        # index in cmp, tuples are distinct; without one there are no carry
+        # words, so swapping equal cmp tuples is a no-op.
+        swap = km == _lex_lt(xs, ps, ncmp)
+        return [jnp.where(swap, p, x) for x, p in zip(xs, ps)]
+
+    def substage_pair(xs, fb, desc_half):
+        """Sublane-bit CE on the half-split view: all compare/select work
+        runs on half-sized arrays (the dominant substage class, ~2x cheaper
+        than the roll form)."""
+        m = 1 << (fb - LANE_BITS)
+        half = (rows // (2 * m), m, 128)
+        los = [x.reshape(rows // (2 * m), 2, m, 128)[:, 0] for x in xs]
+        his = [x.reshape(rows // (2 * m), 2, m, 128)[:, 1] for x in xs]
+        # ascending keeps (lo, hi) iff lo < hi, descending iff not — ties may
+        # go either way (harmless under the sort_words word contract), which
+        # is what lets one compare chain suffice. _lex_lt(a, b) is b < a.
+        s = _lex_lt(his, los, ncmp) != desc_half
+        # s True -> keep (lo, hi) as-is; False -> swap
+        out = []
+        for lo, hi in zip(los, his):
+            nlo = jnp.where(s, lo, hi)
+            nhi = jnp.where(s, hi, lo)
+            out.append(jnp.stack([nlo, nhi], axis=1).reshape(shape))
+        return out
 
     def kernel(*refs):
         ins, outs = refs[:nwords], refs[nwords:]
@@ -197,22 +262,23 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
         # costs ~20% (measured on v5e) in spills
         for k, j in sweep.substages:
             fb = sweep.tile_bit(j)
-            hbit = _flat_bit_vec(shape, fb)
-            ps = [_partner(x, fb, hbit == 1) for x in xs]
-            # keep_min = NOT(high side) XOR descending — int32 algebra
             kind, bit = sweep.dir_spec(k)
-            if kind == "tile":
-                desc = _flat_bit_vec(shape, bit)
+            # pair-split only when halves are (8,128)-tile aligned (m >= 8):
+            # sub-tile strided slicing costs more than it saves (measured)
+            if fb >= LANE_BITS + 3:
+                m = 1 << (fb - LANE_BITS)
+                half = (rows // (2 * m), m, 128)
+                if kind == "tile":
+                    desc_half = _desc_mask_half(half, rows, m, bit) == 1
+                else:
+                    desc_half = (((a if kind == "a" else b) >> bit) & 1) == 1
+                xs = substage_pair(xs, fb, desc_half)
             else:
-                desc = ((a if kind == "a" else b) >> bit) & 1  # scalar 0/1
-            km = ((1 - hbit) ^ desc) == 1
-            # swap iff (partner < self) == keep_min. A single compare chain
-            # suffices because tie-swaps are harmless under the sort_words
-            # word contract (ties imply bit-identical word tuples): with a
-            # stability index in cmp, tuples are distinct; without one there
-            # are no carry words, so swapping equal cmp tuples is a no-op.
-            swap = km == _lex_lt(xs, ps, ncmp)
-            xs = [jnp.where(swap, p, x) for x, p in zip(xs, ps)]
+                if kind == "tile":
+                    desc = _flat_bit_vec(shape, bit)
+                else:
+                    desc = ((a if kind == "a" else b) >> bit) & 1  # scalar
+                xs = substage_roll(xs, fb, desc)
         g_dim = 1 << sweep.g
         c_rows = (1 << sweep.c) >> LANE_BITS
         for o, x in zip(outs, xs):
@@ -346,6 +412,23 @@ def bits_to_cmp_words(bits, start_bit: int, end_bit: int) -> list:
 
 _PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
 
+# Mosaic's remote compiler OOMs (SIGKILL) above ~100-120 substages per
+# kernel with the pair-split CE form; oversized sweeps are split into
+# consecutive chunks over the same tile (one extra HBM round trip each,
+# ~3 ms at 2**28 — compile feasibility buys it)
+MAX_SUBSTAGES_PER_KERNEL = 96
+
+
+def _split_sweep(sweep: Sweep, max_substages: int):
+    subs = sweep.substages
+    if len(subs) <= max_substages:
+        return [sweep]
+    k = -(-len(subs) // max_substages)
+    per = -(-len(subs) // k)
+    return [Sweep(c=sweep.c, g=sweep.g, j_lo=sweep.j_lo, L=sweep.L,
+                  substages=tuple(subs[i:i + per]))
+            for i in range(0, len(subs), per)]
+
 
 def _tile_bits_for(nwords: int, L: int) -> int:
     # in+out double-buffered: ~4 buffers/word of 4B each
@@ -377,10 +460,33 @@ def sort_words(cmp_words: list, carry_words: list, *, interpret: bool = False):
 
     tile_bits = _tile_bits_for(nwords, L)
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
-    for sweep in plan_sweeps(L, tile_bits, chunk_bits):
-        words = run_sweep(words, sweep, ncmp, interpret)
+    T = min(tile_bits, L)
+    # storage bit rotation: lanes hold the *rarest* network bits (see
+    # plan_sweeps). rot=10 puts flat bits >= 10 (sublane-aligned pair-split)
+    # under the most frequent substages. Only useful when the tile actually
+    # has aligned flat bits (T > 10).
+    rot = 10 if T > 10 else 0
+    if rot:
+        words = [_rotate_storage(w, T, -rot) for w in words]
+    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot):
+        for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL):
+            words = run_sweep(words, part, ncmp, interpret)
+    if rot:
+        words = [_rotate_storage(w, T, rot) for w in words]
     words = [w[:n] for w in words]
     return words[:ncmp], words[ncmp:]
+
+
+def _rotate_storage(w, T: int, rot: int):
+    """Move element f to the bit-rotated-RIGHT position within each 2**T
+    block: s = rotr(f, rot) — a transpose per block (one XLA pass each way).
+    Call with -rot for the planner's rotate-left sigma."""
+    r = rot % T
+    if r == 0:
+        return w
+    return (w.reshape(-1, 1 << (T - r), 1 << r)
+            .swapaxes(-1, -2)
+            .reshape(-1))
 
 
 def sort_arrays_bitonic(bits, arrays, start_bit, end_bit, *,

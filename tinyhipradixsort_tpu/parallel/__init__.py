@@ -5,6 +5,8 @@ subpackage is the new design territory: a splitter-based distributed stable
 sort over a 1-D `jax.sharding.Mesh`, per SURVEY.md §7.5.
 """
 
+from . import multihost
 from .psort import make_sort_mesh, psort_indices, psort_keys, psort_pairs
 
-__all__ = ["make_sort_mesh", "psort_keys", "psort_pairs", "psort_indices"]
+__all__ = ["make_sort_mesh", "multihost", "psort_keys", "psort_pairs",
+           "psort_indices"]

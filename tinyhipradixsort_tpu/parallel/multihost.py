@@ -1,0 +1,47 @@
+"""Multi-host bootstrap helpers.
+
+The reference has no distributed anything (SURVEY.md §2); on TPU pods the
+process group is JAX's own. These helpers wrap the standard flow so the
+distributed sort can run across hosts with one call per process:
+
+    from tinyhipradixsort_tpu.parallel import multihost
+    multihost.initialize()            # env-driven on Cloud TPU / GKE
+    mesh = multihost.global_sort_mesh()
+    out = thrs.psort_keys(keys, mesh=mesh)
+
+All collectives in :mod:`.psort` are ordinary XLA collectives under
+``shard_map``, so they ride ICI within a slice and DCN across slices with no
+code changes — the mesh device order determines the ring.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .psort import make_sort_mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """``jax.distributed.initialize`` with env-driven defaults.
+
+    On Cloud TPU (GCE/GKE) all arguments are discovered automatically; pass
+    them explicitly for manual clusters. Safe to call once per process,
+    before any other JAX call.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_sort_mesh():
+    """1-D mesh over every chip in the job (all hosts)."""
+    return make_sort_mesh(jax.devices())
+
+
+def local_sort_mesh():
+    """1-D mesh over this host's chips only (single-host runs/tests)."""
+    return make_sort_mesh(jax.local_devices())
