@@ -246,6 +246,8 @@ def _pad_global(x, n_pad, fill):
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
                  slack, want, check):
     P_ = mesh.shape[AXIS]
+    if keys.ndim != 1:
+        raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
     n = keys.shape[0]
     if n >= (1 << 32):
         raise ValueError("psort supports n < 2**32")
