@@ -91,3 +91,11 @@ def test_psort_matches_single_chip_float_bits(mesh):
     got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh))
     want = oracles.oracle_sort_keys(x)
     np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+
+
+def test_psort_pallas_local_method(mesh):
+    # pallas local sorts inside shard_map (interpret mode on the CPU mesh)
+    n = 4096
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh, method="pallas"))
+    np.testing.assert_array_equal(got, np.sort(x))

@@ -439,7 +439,8 @@ def _tile_bits_for(nwords: int, L: int) -> int:
     return max(MIN_L, min(18, int(math.floor(math.log2(budget_elems))), L))
 
 
-def sort_words(cmp_words: list, carry_words: list, *, interpret: bool = False):
+def sort_words(cmp_words: list, carry_words: list,
+               *, interpret: bool | None = None):
     """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
 
     Returns (cmp_words, carry_words) reordered. Input words must share length.
@@ -447,7 +448,15 @@ def sort_words(cmp_words: list, carry_words: list, *, interpret: bool = False):
     Contract: either the cmp tuples are all distinct (e.g. include an index
     word), or carry_words is such that equal-cmp elements are bit-identical
     in every word (e.g. empty). The network swaps ties freely.
+
+    interpret=None auto-selects: compiled kernels on TPU, the Pallas
+    interpreter elsewhere.
     """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words
