@@ -1,0 +1,88 @@
+"""Per-tile digit histograms (Pallas) — the reference ``blockCount`` analogue.
+
+Reference: kernel.cu:73-103 — one thread-block per tile builds a 256-bin
+shared-memory histogram via atomicInc. TPUs have no atomics; the kernel
+accumulates bucket-chunked compare-sums on the VPU instead. The bitonic
+speed path does not need histograms (docs/DESIGN.md §2), but they remain a
+building block: global digit distribution statistics, and the MSB-bucket
+variant of the distributed sort planned in docs/DESIGN.md §4.
+
+Outputs match the reference's layout transposed: ``(num_tiles, 2**width)``
+(the reference stores bucket-major, kernel.cu:97; transpose as needed —
+``counts.T.reshape(-1)`` reproduces its exact counter array).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from . import common
+
+DEFAULT_TILE = 1 << 13
+_BUCKET_CHUNK = 8
+
+
+def _hist_kernel(x_ref, out_ref, *, shift: int, width: int):
+    bits = x_ref[0]  # (rows, 128) uint32
+    digit = ((bits >> jnp.uint32(shift)) &
+             jnp.uint32((1 << width) - 1)).astype(jnp.int32)
+    nb = 1 << width
+    for b0 in range(0, nb, _BUCKET_CHUNK):
+        ids = jax.lax.broadcasted_iota(
+            jnp.int32, (_BUCKET_CHUNK, 1, 1), 0) + b0
+        eq = (digit[None, :, :] == ids).astype(jnp.int32)
+        out_ref[0, b0:b0 + _BUCKET_CHUNK] = jnp.sum(eq, axis=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "width", "tile",
+                                             "interpret"))
+def digit_histogram(bits, shift: int = 0, width: int = 8,
+                    tile: int = DEFAULT_TILE, interpret: bool | None = None):
+    """Histogram of the digit ``bits[shift : shift+width]`` per tile.
+
+    bits: (n,) uint32/uint64 key bits. Returns (num_tiles, 2**width) int32.
+    Tail tiles are padded with all-ones bits; the pad falls in the top
+    bucket of the top digit only when the window covers the key's top bits —
+    callers slice or correct via ``n`` as the reference does with its exact
+    grid (hpp:864).
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+    if np.dtype(bits.dtype) == np.uint64:
+        # histogram only reads the window; shift into a u32 word
+        bits = ((bits >> jnp.uint64(shift)) &
+                jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        shift = 0
+    assert shift + width <= 32
+    n = bits.shape[0]
+    tile = max(1024, min(tile, 1 << 22))
+    padded = common.pad_to_multiple(bits, tile, ~jnp.uint32(0))
+    T = padded.shape[0] // tile
+    rows = tile // 128
+    view = padded.reshape(T, rows, 128)
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, shift=shift, width=width),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, rows, 128), lambda t: (t, np.int32(0), np.int32(0)))],
+        out_specs=pl.BlockSpec((1, 1 << width), lambda t: (t, np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((T, 1 << width), jnp.int32),
+        interpret=interpret,
+    )(view)
+    return out
+
+
+def exclusive_scan_bucket_major(counts):
+    """Reference counter scan: flat exclusive prefix sum over the
+    bucket-major (bucket, tile) counter array (kernel.cu:136-204 semantics,
+    done with XLA's cumsum — see docs/DESIGN.md §2)."""
+    flat = counts.T.reshape(-1)
+    ex = jnp.concatenate([jnp.zeros((1,), flat.dtype), jnp.cumsum(flat)[:-1]])
+    return ex.reshape(counts.shape[1], counts.shape[0]).T
