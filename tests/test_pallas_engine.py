@@ -137,3 +137,17 @@ def test_float_specials_pallas():
     got = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas"))
     want = oracles.oracle_sort_keys(x)
     np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+
+
+def test_zeros_exact_fast_path():
+    x = np.array([3.5, -0.0, 0.0, -1.25, np.inf, -np.inf, np.nan] * 100,
+                 dtype=np.float32)
+    got = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas",
+                                    zeros_exact=False))
+    want = oracles.oracle_sort_keys(x).copy()
+    want[want == 0.0] = 0.0  # fast path normalizes -0.0 -> +0.0
+    np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+    # default path remains bit-exact
+    got2 = np.asarray(thrs.sort_keys(jnp.asarray(x), method="pallas"))
+    np.testing.assert_array_equal(got2.view(np.uint32),
+                                  oracles.oracle_sort_keys(x).view(np.uint32))

@@ -44,11 +44,16 @@ def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
 
 
 def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
-                   interpret=None):
+                   interpret=None, zeros_exact=True):
     """Full-semantics sort returning outputs per ``want`` with minimal words.
 
     ``want``: subset tuple of ("keys", "values", "indices"); ``values`` is a
     flat list of array leaves (leading axis n).
+
+    ``zeros_exact=False`` (float keys-only fast path) sorts the transformed
+    bits alone — ~2.5x faster (1 word instead of 3) — at the cost of every
+    ``-0.0`` key coming back as ``+0.0`` (the transform normalizes zeros;
+    all other values, including every NaN payload, invert exactly).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -59,7 +64,8 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     bits = keybits.key_bits(keys, descending=descending)
     cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
 
-    keys_from_bits = full and dtype.kind in "iu"
+    keys_from_bits = full and (dtype.kind in "iu"
+                               or (dtype.kind == "f" and not zeros_exact))
     need_keys_carry = ("keys" in want) and not keys_from_bits
     need_vals = "values" in want
     need_idx_out = "indices" in want

@@ -242,9 +242,10 @@ def _pad_global(x, n_pad, fill):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "descending", "method", "oversample", "slack", "want", "check"))
+    "mesh", "descending", "method", "oversample", "slack", "want", "check",
+    "zeros_exact"))
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
-                 slack, want, check):
+                 slack, want, check, zeros_exact=True):
     P_ = mesh.shape[AXIS]
     if keys.ndim != 1:
         raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
@@ -265,7 +266,8 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
                                  SENTINEL))
     ncmp = len(cmp_words)
 
-    keys_from_bits = dtype.kind in "iu"
+    keys_from_bits = (dtype.kind in "iu"
+                      or (dtype.kind == "f" and not zeros_exact))
     need_keys_carry = ("keys" in want) and not keys_from_bits
 
     carry_words, recipes = [], []
@@ -333,7 +335,7 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
 
 
 def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
-               oversample=32, slack=2.0, check=False):
+               oversample=32, slack=2.0, check=False, zeros_exact=True):
     """Globally sorted keys over the mesh axis; same global shape as input.
 
     The result is sharded contiguously over the mesh: chip p holds global
@@ -347,7 +349,7 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
     descending = SortOrder.parse(order).descending
     out = _psort_entry(keys, (), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
-                       want=("keys",), check=check)
+                       want=("keys",), check=check, zeros_exact=zeros_exact)
     return out if check else out[0]
 
 

@@ -72,9 +72,12 @@ def _sort_arrays(bits, arrays, start_bit, end_bit, method):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("descending", "start_bit", "end_bit", "method", "want")
+    jax.jit,
+    static_argnames=("descending", "start_bit", "end_bit", "method", "want",
+                     "zeros_exact"),
 )
-def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want):
+def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
+                zeros_exact=True):
     """want: subset of {'keys','values','indices'} controlling outputs."""
     n = keys.shape[0]
     leaves, treedef = [], None
@@ -91,7 +94,7 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want):
 
         out = pallas_engine.sort_semantics(
             keys, leaves, descending=descending, start_bit=start_bit,
-            end_bit=end_bit, want=want)
+            end_bit=end_bit, want=want, zeros_exact=zeros_exact)
         result = []
         pos = 0
         if "keys" in want:
@@ -146,17 +149,23 @@ def _prep(keys, order, start_bit, end_bit):
     return keys, descending, start_bit, end_bit
 
 
-def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None, method="auto"):
+def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
+              method="auto", zeros_exact=True):
     """Stable radix sort of ``keys``; returns the sorted array.
 
     Reference parity: ``RadixSort::sortKeys`` (hpp:845-848). The result
     replaces the input buffer there; here it is returned functionally.
+
+    ``zeros_exact=False`` is a float-keys fast path (~2.5x on the Pallas
+    engine): every ``-0.0`` comes back as ``+0.0`` (order is unaffected —
+    the two zeros compare equal). Ignored for integer keys and by the
+    portable engines, which are always exact.
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method, keys.dtype)
     (out,) = _sort_entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
-        method=method, want=("keys",),
+        method=method, want=("keys",), zeros_exact=zeros_exact,
     )
     return out
 
