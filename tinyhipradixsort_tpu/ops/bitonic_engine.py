@@ -311,6 +311,10 @@ def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool):
         out_shape=tuple(jax.ShapeDtypeStruct(view, jnp.uint32) for _ in range(nwords)),
         compiler_params=params,
         interpret=interpret,
+        # each grid step reads and writes the same block: aliasing makes the
+        # whole network run in place, halving live HBM (word count x n x 4B
+        # instead of 2x) — what lets 5-word configs (u64+u64 pairs) fit
+        input_output_aliases={i: i for i in range(nwords)},
     )(*shaped)
     out = out if isinstance(out, (tuple, list)) else (out,)
     return [o.reshape(-1) for o in out]
