@@ -102,7 +102,7 @@ class Sweep:
 
 
 def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
-                rot: int = 0) -> list[Sweep]:
+                rot: int = 0, stages=None) -> list[Sweep]:
     """Greedy sweep plan for the full bitonic network on 2**L elements.
 
     tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
@@ -126,8 +126,9 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
     def sigma(x: int) -> int:
         return (x + rot) % T if x < T else x
 
+    stages = range(1, L + 1) if stages is None else stages
     subs = [(sigma(k), sigma(j))
-            for k in range(1, L + 1) for j in range(k - 1, -1, -1)]
+            for k in stages for j in range(k - 1, -1, -1)]
     sweeps: list[Sweep] = []
     pos = 0
     while pos < len(subs):
@@ -464,13 +465,27 @@ def sort_words(cmp_words: list, carry_words: list,
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words
-    L = max(_ceil_log2(n), MIN_L)
-    n_pad = 1 << L
     ncmp = len(cmp_words)
+    L_full = max(_ceil_log2(n), MIN_L)
+    # non-power-of-two: padding to 2**L wastes up to 2x work; when the waste
+    # exceeds ~25%, sort power-of-two segments and merge with arbitrary-length
+    # bitonic merge steps instead (docs/DESIGN.md §3)
+    if n > (1 << MIN_L) and n < (1 << L_full) * 3 // 4 and (n & (n - 1)):
+        words = _sort_segmented(list(cmp_words) + list(carry_words), n, ncmp,
+                                interpret)
+        return words[:ncmp], words[ncmp:]
+
+    n_pad = 1 << L_full
     words = [common.pad_to_multiple(w, n_pad, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [common.pad_to_multiple(w, n_pad, jnp.uint32(0)) for w in carry_words]
-    nwords = len(words)
+    words = _run_network(words, ncmp, L_full, None, interpret)
+    words = [w[:n] for w in words]
+    return words[:ncmp], words[ncmp:]
 
+
+def _run_network(words, ncmp: int, L: int, stages, interpret: bool):
+    """Run the (sub)network given by ``stages`` on 2**L-element words."""
+    nwords = len(words)
     tile_bits = _tile_bits_for(nwords, L)
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
     T = min(tile_bits, L)
@@ -481,13 +496,46 @@ def sort_words(cmp_words: list, carry_words: list,
     rot = 10 if T > 10 else 0
     if rot:
         words = [_rotate_storage(w, T, -rot) for w in words]
-    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot):
+    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages):
         for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL):
             words = run_sweep(words, part, ncmp, interpret)
     if rot:
         words = [_rotate_storage(w, T, rot) for w in words]
-    words = [w[:n] for w in words]
-    return words[:ncmp], words[ncmp:]
+    return words
+
+
+def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool):
+    """Merge a sorted-ascending run with a sorted-descending run.
+
+    [asc, sentinel block, desc] padded to a power of two is bitonic (the
+    all-ones sentinels sit at the peak and, being maximal, never move before
+    real data under an ascending merge), so the engine's standard stage-L
+    merge sweeps apply; the real elements come out as the ascending prefix.
+    """
+    a = asc_words[0].shape[0]
+    b = desc_words[0].shape[0]
+    m = 1 << max(_ceil_log2(a + b), MIN_L)
+    mid = m - a - b
+    out = []
+    for i, (aw, dw) in enumerate(zip(asc_words, desc_words)):
+        fill = jnp.uint32(0xFFFFFFFF) if i < ncmp else jnp.uint32(0)
+        pad = jnp.full((mid,), fill, jnp.uint32)
+        out.append(jnp.concatenate([aw, pad, dw]))
+    out = _run_network(out, ncmp, m.bit_length() - 1, [m.bit_length() - 1],
+                       interpret)
+    return [w[:a + b] for w in out]
+
+
+def _sort_segmented(words, n: int, ncmp: int, interpret: bool):
+    """Sort arbitrary-n words: largest power-of-two prefix sorted with the
+    full network, the rest sorted recursively, then one bitonic merge."""
+    a = 1 << (n.bit_length() - 1)  # largest power of two <= n
+    left = [w[:a] for w in words]
+    right = [w[a:] for w in words]
+    left = _run_network(left, ncmp, n.bit_length() - 1, None, interpret)
+    cw, kw = sort_words(right[:ncmp], right[ncmp:], interpret=interpret)
+    right = [w[::-1] for w in list(cw) + list(kw)]
+    return _merge_sorted_runs(left, right, ncmp, interpret)
 
 
 def _rotate_storage(w, T: int, rot: int):
