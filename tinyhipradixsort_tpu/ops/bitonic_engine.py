@@ -33,16 +33,15 @@ so the whole group runs in VMEM between one HBM read and one HBM write.
 Direction bits ``k`` outside the tile are uniform per grid step (derived from
 ``program_id``); in-tile bits become iota masks.
 
-For 2**28 u32 keys this plan is ~29 HBM sweeps (vs ~400 for a naive
+For 2**28 u32 keys this plan is ~27 HBM sweeps (vs ~400 for a naive
 stage-per-launch bitonic), i.e. ~60 GB of traffic — HBM-feasible — with the
 VPU compare-select work (~2000 ops/elem) the actual bound.
 """
 
 from __future__ import annotations
 
-import functools
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
