@@ -99,3 +99,13 @@ def test_psort_pallas_local_method(mesh):
     x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
     got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh, method="pallas"))
     np.testing.assert_array_equal(got, np.sort(x))
+
+
+@pytest.mark.parametrize("ndev", [3, 5, 6, 7])
+def test_psort_non_pow2_mesh(ndev):
+    # regression: B must divide by P for the stride pre-exchange
+    m = make_sort_mesh(jax.devices()[:ndev])
+    for n in (1, 49, 5000):
+        x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+        got = np.asarray(psort_keys(jnp.asarray(x), mesh=m))
+        np.testing.assert_array_equal(got, np.sort(x))

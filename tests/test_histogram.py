@@ -43,3 +43,12 @@ def test_bucket_major_scan_matches_reference_layout():
     flat = np.asarray(counts).T.reshape(-1)
     want = np.concatenate([[0], np.cumsum(flat)[:-1]]).reshape(16, 7).T
     np.testing.assert_array_equal(ex, want)
+
+
+def test_digit_histogram_small_width_and_odd_tile():
+    # regressions: width < 3 (fewer buckets than the chunk) and unaligned tile
+    x = RNG.integers(0, 2**32, size=5000, dtype=np.uint32)
+    c = np.asarray(histogram.digit_histogram(jnp.asarray(x), 0, 2, tile=3000))
+    assert c.shape[1] == 4 and c.sum() >= 5000
+    c2 = np.asarray(histogram.digit_histogram(jnp.asarray(x), 30, 1))
+    assert c2.shape[1] == 2

@@ -37,9 +37,6 @@ __all__ = [
     "np_key_bits_inverse",
 ]
 
-_UNSIGNED = {np.dtype(np.uint32): np.dtype(np.uint32), np.dtype(np.uint64): np.dtype(np.uint64)}
-
-
 def supported_key_dtypes() -> tuple[np.dtype, ...]:
     return (
         np.dtype(np.uint32),

@@ -457,10 +457,7 @@ def sort_words(cmp_words: list, carry_words: list,
     interpreter elsewhere.
     """
     if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform != "tpu"
-        except RuntimeError:
-            interpret = True
+        interpret = common.interpret_default()
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words

@@ -32,11 +32,11 @@ def _hist_kernel(x_ref, out_ref, *, shift: int, width: int):
     digit = ((bits >> jnp.uint32(shift)) &
              jnp.uint32((1 << width) - 1)).astype(jnp.int32)
     nb = 1 << width
-    for b0 in range(0, nb, _BUCKET_CHUNK):
-        ids = jax.lax.broadcasted_iota(
-            jnp.int32, (_BUCKET_CHUNK, 1, 1), 0) + b0
+    chunk = min(_BUCKET_CHUNK, nb)
+    for b0 in range(0, nb, chunk):
+        ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0) + b0
         eq = (digit[None, :, :] == ids).astype(jnp.int32)
-        out_ref[0, b0:b0 + _BUCKET_CHUNK] = jnp.sum(eq, axis=(1, 2))
+        out_ref[0, b0:b0 + chunk] = jnp.sum(eq, axis=(1, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "width", "tile",
@@ -52,10 +52,7 @@ def digit_histogram(bits, shift: int = 0, width: int = 8,
     grid (hpp:864).
     """
     if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform != "tpu"
-        except RuntimeError:
-            interpret = True
+        interpret = common.interpret_default()
     if np.dtype(bits.dtype) == np.uint64:
         # histogram only reads the window; shift into a u32 word
         bits = ((bits >> jnp.uint64(shift)) &
@@ -63,7 +60,10 @@ def digit_histogram(bits, shift: int = 0, width: int = 8,
         shift = 0
     assert shift + width <= 32
     n = bits.shape[0]
-    tile = max(1024, min(tile, 1 << 22))
+    # tiles must be lane-aligned and within VMEM reach; out-of-range or
+    # unaligned requests are rounded (the tile is a throughput knob, not a
+    # semantic contract — counts are still per returned tile)
+    tile = max(1024, min(-(-tile // 128) * 128, 1 << 22))
     padded = common.pad_to_multiple(bits, tile, ~jnp.uint32(0))
     T = padded.shape[0] // tile
     rows = tile // 128

@@ -26,11 +26,7 @@ from .. import keybits
 from . import bitonic_engine, common
 
 
-def _interpret_default() -> bool:
-    try:
-        return jax.default_backend() != "tpu"
-    except RuntimeError:
-        return True
+_interpret_default = common.interpret_default
 
 
 def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
@@ -63,6 +59,7 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     full = start_bit == 0 and end_bit == width
     bits = keybits.key_bits(keys, descending=descending)
     cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
+    nk = len(cmp_words)  # key-bit words (before the stability index word)
 
     keys_from_bits = full and (dtype.kind in "iu"
                                or (dtype.kind == "f" and not zeros_exact))
@@ -101,7 +98,6 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if n <= 1:
             result.append(keys)
         elif keys_from_bits:
-            nk = len(bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit))
             sorted_bits = _join_cmp(cmp_out[:nk], dtype, start_bit, end_bit, bits.dtype)
             result.append(keybits.key_bits_inverse(
                 sorted_bits, dtype, descending=descending))

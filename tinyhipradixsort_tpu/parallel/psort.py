@@ -252,7 +252,14 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     n = keys.shape[0]
     if n >= (1 << 32):
         raise ValueError("psort supports n < 2**32")
-    quantum = P_ * max(P_, 8)  # B divisible by P (stride) and 8
+    if (np.dtype(keys.dtype) == np.float64
+            and jax.default_backend() in ("tpu", "axon")):
+        # same contract as sort.py: device f64 is lossy on TPU
+        raise TypeError(
+            "float64 keys are not representable losslessly on TPU; use the "
+            "np_key_bits/np_key_bits_inverse u64 host adapters.")
+    # B must divide by P (stride pre-exchange reshape) and by 8 (layout)
+    quantum = P_ * math.lcm(P_, 8)
     n_pad = -(-max(n, quantum) // quantum) * quantum
     B = n_pad // P_
 

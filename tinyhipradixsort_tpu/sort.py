@@ -43,7 +43,7 @@ __all__ = ["sort_keys", "sort_pairs", "sort_indices", "RadixSort"]
 _ENGINES = ("auto", "pallas", "counting", "argsort", "lsd_argsort")
 
 
-def _resolve_method(method: str, key_dtype) -> str:
+def _resolve_method(method: str) -> str:
     if method not in _ENGINES:
         raise ValueError(f"unknown method {method!r}; expected one of {_ENGINES}")
     if method != "auto":
@@ -162,7 +162,7 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
     portable engines, which are always exact.
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
-    method = _resolve_method(method, keys.dtype)
+    method = _resolve_method(method)
     (out,) = _sort_entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys",), zeros_exact=zeros_exact,
@@ -178,7 +178,7 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None, me
     4/8/16-byte payloads; u128 payloads map to shape ``(n, 4)`` uint32).
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
-    method = _resolve_method(method, keys.dtype)
+    method = _resolve_method(method)
     values = jax.tree.map(jnp.asarray, values)
     out_keys, out_values = _sort_entry(
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
@@ -192,7 +192,7 @@ def sort_indices(keys, *, order="ascending", start_bit=0, end_bit=None, method="
     by transformed key bits). TPU-native extension with no reference analogue —
     equivalent to ``sort_pairs(keys, iota)[1]``."""
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
-    method = _resolve_method(method, keys.dtype)
+    method = _resolve_method(method)
     (perm,) = _sort_entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("indices",),
