@@ -5,6 +5,10 @@ print). On TPU the 'init/compile' steps are just jit tracing."""
 import numpy as np
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tinyhipradixsort_tpu as thrs
 
 

@@ -13,6 +13,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tinyhipradixsort_tpu as thrs
 
 DTYPES = {"u32": np.uint32, "u64": np.uint64, "f32": np.float32,
