@@ -139,6 +139,25 @@ def test_float_specials_pallas():
     np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("order", ["ascending", "descending"])
+def test_tagged_index_float_rebuild(dtype, order):
+    # Full-width float keys rebuild from sorted bits + the tagged stability
+    # index (no key carry words); the tag's low bit must restore -0.0 slots
+    # bit-exactly and the indices output must un-shift the tag.
+    from tinyhipradixsort_tpu.ops import pallas_engine
+
+    x = _rand(dtype, 900)
+    desc = order == "descending"
+    k, idx = pallas_engine.sort_semantics(
+        jnp.asarray(x), [], descending=desc, start_bit=0,
+        end_bit=np.dtype(dtype).itemsize * 8, want=("keys", "indices"))
+    p = np.argsort(thrs.np_key_bits(x, descending=desc), kind="stable")
+    u = np.uint32 if np.dtype(dtype).itemsize == 4 else np.uint64
+    np.testing.assert_array_equal(np.asarray(k).view(u), x[p].view(u))
+    np.testing.assert_array_equal(np.asarray(idx), p)
+
+
 def test_zeros_exact_fast_path():
     x = np.array([3.5, -0.0, 0.0, -1.25, np.inf, -np.inf, np.nan] * 100,
                  dtype=np.float32)

@@ -9,11 +9,15 @@ tinyhipradixsort.hpp:751-804):
 * integer keys, full window, keys-only: sort the transformed bits alone
   (1 word, no stability index — equal bits imply identical keys) and rebuild
   the keys by inverting the order-preserving transform.
-* float keys: the transform collapses -0.0/+0.0, so the original key word is
-  carried and a stability index keeps the zero-run in input order (bit-exact
-  vs the reference, which reorders raw keys; kernel.cu:56-57).
+* float keys, full window: the transform is injective except for the
+  -0.0/+0.0 collapse (kernel.cu:56-57), so keys are rebuilt from the sorted
+  bits and the *stability index word is tagged* — ``(index << 1) | is_neg_zero``
+  — which keeps tie order (index is strictly increasing) while recording
+  exactly which zero-run slots must come back as ``-0.0``. No original-key
+  carry words (bit-exact vs the reference, which reorders raw keys).
 * pairs / indices / bit windows: window bits + stability index as compare
-  words; payload leaves ride as carry words.
+  words; payload leaves (plus key words when the window hides key bits) ride
+  as carry words.
 """
 
 from __future__ import annotations
@@ -47,9 +51,9 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     flat list of array leaves (leading axis n).
 
     ``zeros_exact=False`` (float keys-only fast path) sorts the transformed
-    bits alone — ~2.5x faster (1 word instead of 3) — at the cost of every
-    ``-0.0`` key coming back as ``+0.0`` (the transform normalizes zeros;
-    all other values, including every NaN payload, invert exactly).
+    bits alone — 1 word instead of 2 — at the cost of every ``-0.0`` key
+    coming back as ``+0.0`` (the transform normalizes zeros; all other
+    values, including every NaN payload, invert exactly).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -61,17 +65,25 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
     nk = len(cmp_words)  # key-bit words (before the stability index word)
 
-    keys_from_bits = full and (dtype.kind in "iu"
+    # Full-width float keys rebuild from the sorted bits: the transform is
+    # injective except for -0.0/+0.0, and the stability index's low bit
+    # records which zeros were negative (tag preserves tie order).
+    tag_zero = (full and dtype.kind == "f" and zeros_exact
+                and "keys" in want and n < (1 << 31))
+    keys_from_bits = full and (dtype.kind in "iu" or tag_zero
                                or (dtype.kind == "f" and not zeros_exact))
     need_keys_carry = ("keys" in want) and not keys_from_bits
     need_vals = "values" in want
     need_idx_out = "indices" in want
-    stable_needed = need_vals or need_idx_out or need_keys_carry
+    stable_needed = need_vals or need_idx_out or need_keys_carry or tag_zero
     if n > 1:
         if stable_needed:
             if n >= (1 << 32):
                 raise ValueError("pallas sort supports n < 2**32")
-            cmp_words = cmp_words + [jnp.arange(n, dtype=jnp.uint32)]
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            if tag_zero:
+                idx = (idx << jnp.uint32(1)) | _neg_zero_flag(keys)
+            cmp_words = cmp_words + [idx]
 
         carry_words, recipes = [], []
         if need_keys_carry:
@@ -99,8 +111,16 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
             result.append(keys)
         elif keys_from_bits:
             sorted_bits = _join_cmp(cmp_out[:nk], dtype, start_bit, end_bit, bits.dtype)
-            result.append(keybits.key_bits_inverse(
-                sorted_bits, dtype, descending=descending))
+            out_keys = keybits.key_bits_inverse(
+                sorted_bits, dtype, descending=descending)
+            if tag_zero:
+                zero_bits = keybits.np_key_bits(
+                    np.zeros(1, dtype), descending=descending)[0]
+                was_neg = (cmp_out[-1] & jnp.uint32(1)) == jnp.uint32(1)
+                neg_zero = dtype.type(-0.0)
+                out_keys = jnp.where((sorted_bits == zero_bits) & was_neg,
+                                     neg_zero, out_keys)
+            result.append(out_keys)
         else:
             k = recipes[rpos]["nwords"]
             result.append(bitonic_engine.words_to_array(
@@ -124,8 +144,24 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if n <= 1:
             result.append(jnp.arange(n, dtype=idx_dt))
         else:
-            result.append(cmp_out[-1].astype(idx_dt))
+            idx_word = cmp_out[-1]
+            if tag_zero:
+                idx_word = idx_word >> jnp.uint32(1)
+            result.append(idx_word.astype(idx_dt))
     return tuple(result)
+
+
+def _neg_zero_flag(keys):
+    """1 where the float key is bitwise ``-0.0``, else 0 (uint32)."""
+    dtype = np.dtype(keys.dtype)
+    sign = jnp.uint32(0x80000000)
+    if dtype.itemsize == 4:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+        return (u == sign).astype(jnp.uint32)
+    # f64: two u32 words, minor axis least-significant first (TPU-safe form;
+    # f64 only reaches the device path on CPU — sort.py guards TPU)
+    w = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    return ((w[..., 1] == sign) & (w[..., 0] == jnp.uint32(0))).astype(jnp.uint32)
 
 
 def _join_cmp(cmp_words, key_dtype, start_bit, end_bit, bits_dtype):

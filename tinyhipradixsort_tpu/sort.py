@@ -156,10 +156,11 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
     Reference parity: ``RadixSort::sortKeys`` (hpp:845-848). The result
     replaces the input buffer there; here it is returned functionally.
 
-    ``zeros_exact=False`` is a float-keys fast path (~2.5x on the Pallas
-    engine): every ``-0.0`` comes back as ``+0.0`` (order is unaffected —
-    the two zeros compare equal). Ignored for integer keys and by the
-    portable engines, which are always exact.
+    ``zeros_exact=False`` is a float-keys fast path (~2x on the Pallas
+    engine: 1 sorted word instead of bits + tagged stability index): every
+    ``-0.0`` comes back as ``+0.0`` (order is unaffected — the two zeros
+    compare equal). Ignored for integer keys and by the portable engines,
+    which are always exact.
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
