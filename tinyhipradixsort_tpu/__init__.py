@@ -17,7 +17,8 @@ _jax.config.update("jax_enable_x64", True)
 
 from .config import Config, KeyType, SortOrder, ValueType, temporary_buffer_bytes
 from .keybits import key_bits, key_bits_inverse, np_key_bits, np_key_bits_inverse
-from .sort import RadixSort, sort_indices, sort_keys, sort_pairs
+from .sort import (RadixSort, segment_ids_from_offsets, sort_indices,
+                   sort_keys, sort_pairs)
 from .parallel import make_sort_mesh, psort_indices, psort_keys, psort_pairs
 
 __version__ = "0.1.0"
@@ -36,6 +37,7 @@ __all__ = [
     "psort_indices",
     "psort_keys",
     "psort_pairs",
+    "segment_ids_from_offsets",
     "sort_indices",
     "sort_keys",
     "sort_pairs",

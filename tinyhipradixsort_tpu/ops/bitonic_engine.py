@@ -68,6 +68,9 @@ class Sweep:
     L: int  # total problem bits
     # substages executed, in order: (k, j) with j in tile bits
     substages: tuple[tuple[int, int], ...]
+    # stored-k value whose direction is forced ascending (batched row sort:
+    # the final per-row merge stage must not alternate with row parity)
+    forced_asc: int | None = None
 
     @property
     def tile_elems(self) -> int:
@@ -101,7 +104,8 @@ class Sweep:
 
 
 def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
-                rot: int = 0, stages=None) -> list[Sweep]:
+                rot: int = 0, stages=None,
+                forced_asc: int | None = None) -> list[Sweep]:
     """Greedy sweep plan for the full bitonic network on 2**L elements.
 
     tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
@@ -126,6 +130,7 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
         return (x + rot) % T if x < T else x
 
     stages = range(1, L + 1) if stages is None else stages
+    fa = sigma(forced_asc) if forced_asc is not None else None
     subs = [(sigma(k), sigma(j))
             for k in stages for j in range(k - 1, -1, -1)]
     sweeps: list[Sweep] = []
@@ -150,7 +155,8 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
             while pos < len(subs) and j_lo <= subs[pos][1] <= j0:
                 take.append(subs[pos])
                 pos += 1
-        sweeps.append(Sweep(c=c, g=g, j_lo=j_lo, L=L, substages=tuple(take)))
+        sweeps.append(Sweep(c=c, g=g, j_lo=j_lo, L=L, substages=tuple(take),
+                            forced_asc=fa))
     return sweeps
 
 
@@ -262,19 +268,24 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
         # costs ~20% (measured on v5e) in spills
         for k, j in sweep.substages:
             fb = sweep.tile_bit(j)
-            kind, bit = sweep.dir_spec(k)
+            forced = k == sweep.forced_asc
+            kind, bit = (None, None) if forced else sweep.dir_spec(k)
             # pair-split only when halves are (8,128)-tile aligned (m >= 8):
             # sub-tile strided slicing costs more than it saves (measured)
             if fb >= LANE_BITS + 3:
                 m = 1 << (fb - LANE_BITS)
                 half = (rows // (2 * m), m, 128)
-                if kind == "tile":
+                if forced:
+                    desc_half = False
+                elif kind == "tile":
                     desc_half = _desc_mask_half(half, rows, m, bit) == 1
                 else:
                     desc_half = (((a if kind == "a" else b) >> bit) & 1) == 1
                 xs = substage_pair(xs, fb, desc_half)
             else:
-                if kind == "tile":
+                if forced:
+                    desc = 0
+                elif kind == "tile":
                     desc = _flat_bit_vec(shape, bit)
                 else:
                     desc = ((a if kind == "a" else b) >> bit) & 1  # scalar
@@ -430,7 +441,8 @@ def _split_sweep(sweep: Sweep, max_substages: int):
     k = -(-len(subs) // max_substages)
     per = -(-len(subs) // k)
     return [Sweep(c=sweep.c, g=sweep.g, j_lo=sweep.j_lo, L=sweep.L,
-                  substages=tuple(subs[i:i + per]))
+                  substages=tuple(subs[i:i + per]),
+                  forced_asc=sweep.forced_asc)
             for i in range(0, len(subs), per)]
 
 
@@ -479,7 +491,8 @@ def sort_words(cmp_words: list, carry_words: list,
     return words[:ncmp], words[ncmp:]
 
 
-def _run_network(words, ncmp: int, L: int, stages, interpret: bool):
+def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
+                 forced_asc: int | None = None):
     """Run the (sub)network given by ``stages`` on 2**L-element words."""
     nwords = len(words)
     tile_bits = _tile_bits_for(nwords, L)
@@ -492,12 +505,53 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool):
     rot = 10 if T > 10 else 0
     if rot:
         words = [_rotate_storage(w, T, -rot) for w in words]
-    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages):
+    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages, forced_asc):
         for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL):
             words = run_sweep(words, part, ncmp, interpret)
     if rot:
         words = [_rotate_storage(w, T, rot) for w in words]
     return words
+
+
+def sort_words_rows(cmp_words: list, carry_words: list, shape,
+                    *, interpret: bool | None = None):
+    """Row-wise :func:`sort_words`: each of the ``B`` rows of the row-major
+    flat words (``shape = (B, nr)``, word length ``B*nr``) is sorted
+    independently by lexicographic unsigned cmp order.
+
+    TPU-native batched sort: rows pad to ``2**r`` with max-sentinels and the
+    flat network runs only stages ``1..r`` with stage ``r`` forced ascending —
+    all compare partners flip index bits ``< r``, so rows never interact, and
+    the truncated network costs exactly ``B`` times one row's substages. The
+    batch axis pads to a power of two (sentinel rows); same word contract as
+    :func:`sort_words`, applied per row.
+    """
+    if interpret is None:
+        interpret = common.interpret_default()
+    B, nr = shape
+    if nr <= 1 or B == 0:
+        return cmp_words, carry_words
+    ncmp = len(cmp_words)
+    r = _ceil_log2(nr)
+    L = max(_ceil_log2(B) + r, MIN_L)
+    b_pad = 1 << (L - r)
+
+    def pad(w, fill):
+        w = w.reshape(B, nr)
+        if nr != (1 << r):
+            w = jnp.concatenate(
+                [w, jnp.full((B, (1 << r) - nr), fill, jnp.uint32)], axis=1)
+        if B != b_pad:
+            w = jnp.concatenate(
+                [w, jnp.full((b_pad - B, 1 << r), fill, jnp.uint32)], axis=0)
+        return w.reshape(-1)
+
+    words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
+    words += [pad(w, jnp.uint32(0)) for w in carry_words]
+    words = _run_network(words, ncmp, L, range(1, r + 1), interpret,
+                         forced_asc=r)
+    words = [w.reshape(b_pad, 1 << r)[:B, :nr].reshape(-1) for w in words]
+    return words[:ncmp], words[ncmp:]
 
 
 def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool):

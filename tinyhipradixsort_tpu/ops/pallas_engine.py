@@ -44,11 +44,16 @@ def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
 
 
 def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
-                   interpret=None, zeros_exact=True):
+                   interpret=None, zeros_exact=True, seg_bits=None):
     """Full-semantics sort returning outputs per ``want`` with minimal words.
 
     ``want``: subset tuple of ("keys", "values", "indices"); ``values`` is a
     flat list of array leaves (leading axis n).
+
+    ``seg_bits`` (optional, keys-shaped u32/u64): segmented sort — elements
+    order by ``(seg_bits, key)`` lexicographic; the segment bits simply become
+    the leading compare words of the tuple (CUB DeviceSegmentedRadixSort
+    analogue; no reference counterpart).
 
     ``zeros_exact=False`` (float keys-only fast path) sorts the transformed
     bits alone — 1 word instead of 2 — at the cost of every ``-0.0`` key
@@ -57,13 +62,26 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     """
     if interpret is None:
         interpret = _interpret_default()
-    n = keys.shape[0]
+    batched = keys.ndim == 2
+    rows = keys.shape[0] if batched else 1  # batch size B
+    n = keys.shape[-1] if batched else keys.shape[0]  # per-row length
     dtype = np.dtype(keys.dtype)
     width = dtype.itemsize * 8
     full = start_bit == 0 and end_bit == width
     bits = keybits.key_bits(keys, descending=descending)
-    cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
+    cmp_words = [w.reshape(-1)
+                 for w in bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)]
     nk = len(cmp_words)  # key-bit words (before the stability index word)
+    nseg = 0
+    if seg_bits is not None:
+        seg_width = np.dtype(seg_bits.dtype).itemsize * 8
+        seg_words = [w.reshape(-1) for w in bitonic_engine.bits_to_cmp_words(
+            seg_bits, 0, seg_width)]
+        nseg = len(seg_words)
+        cmp_words = seg_words + cmp_words
+
+    def reshape_out(a):
+        return a.reshape((rows, n) + a.shape[1:]) if batched else a
 
     # Full-width float keys rebuild from the sorted bits: the transform is
     # injective except for -0.0/+0.0, and the stability index's low bit
@@ -80,26 +98,33 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if stable_needed:
             if n >= (1 << 32):
                 raise ValueError("pallas sort supports n < 2**32")
-            idx = jnp.arange(n, dtype=jnp.uint32)
+            # within-row index: rows never interact, so tuples need only be
+            # distinct per row
+            idx = jax.lax.broadcasted_iota(
+                jnp.uint32, (rows, n), 1).reshape(-1)
             if tag_zero:
-                idx = (idx << jnp.uint32(1)) | _neg_zero_flag(keys)
+                idx = (idx << jnp.uint32(1)) | _neg_zero_flag(keys).reshape(-1)
             cmp_words = cmp_words + [idx]
 
         carry_words, recipes = [], []
         if need_keys_carry:
-            ws, recipe = bitonic_engine.array_to_words(keys)
+            ws, recipe = bitonic_engine.array_to_words(_flat_leading(keys, batched))
             recipe["nwords"] = len(ws)
             carry_words.extend(ws)
             recipes.append(recipe)
         if need_vals:
             for leaf in values:
-                ws, recipe = bitonic_engine.array_to_words(leaf)
+                ws, recipe = bitonic_engine.array_to_words(_flat_leading(leaf, batched))
                 recipe["nwords"] = len(ws)
                 carry_words.extend(ws)
                 recipes.append(recipe)
 
-        cmp_out, carry_out = bitonic_engine.sort_words(
-            cmp_words, carry_words, interpret=interpret)
+        if batched:
+            cmp_out, carry_out = bitonic_engine.sort_words_rows(
+                cmp_words, carry_words, (rows, n), interpret=interpret)
+        else:
+            cmp_out, carry_out = bitonic_engine.sort_words(
+                cmp_words, carry_words, interpret=interpret)
     else:
         cmp_out, carry_out, recipes = cmp_words, None, None
 
@@ -110,7 +135,8 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if n <= 1:
             result.append(keys)
         elif keys_from_bits:
-            sorted_bits = _join_cmp(cmp_out[:nk], dtype, start_bit, end_bit, bits.dtype)
+            sorted_bits = _join_cmp(cmp_out[nseg:nseg + nk], dtype,
+                                    start_bit, end_bit, bits.dtype)
             out_keys = keybits.key_bits_inverse(
                 sorted_bits, dtype, descending=descending)
             if tag_zero:
@@ -120,11 +146,11 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
                 neg_zero = dtype.type(-0.0)
                 out_keys = jnp.where((sorted_bits == zero_bits) & was_neg,
                                      neg_zero, out_keys)
-            result.append(out_keys)
+            result.append(reshape_out(out_keys))
         else:
             k = recipes[rpos]["nwords"]
-            result.append(bitonic_engine.words_to_array(
-                carry_out[pos:pos + k], recipes[rpos]))
+            result.append(reshape_out(bitonic_engine.words_to_array(
+                carry_out[pos:pos + k], recipes[rpos])))
             pos += k
             rpos += 1
     if "values" in want:
@@ -134,21 +160,29 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
             leaves = []
             for _ in values:
                 k = recipes[rpos]["nwords"]
-                leaves.append(bitonic_engine.words_to_array(
-                    carry_out[pos:pos + k], recipes[rpos]))
+                leaves.append(reshape_out(bitonic_engine.words_to_array(
+                    carry_out[pos:pos + k], recipes[rpos])))
                 pos += k
                 rpos += 1
             result.append(leaves)
     if "indices" in want:
         idx_dt = jnp.int32 if n < 2**31 else jnp.int64
         if n <= 1:
-            result.append(jnp.arange(n, dtype=idx_dt))
+            iota = jax.lax.broadcasted_iota(idx_dt, (rows, n), 1)
+            result.append(iota if batched else iota.reshape(-1))
         else:
             idx_word = cmp_out[-1]
             if tag_zero:
                 idx_word = idx_word >> jnp.uint32(1)
-            result.append(idx_word.astype(idx_dt))
+            result.append(reshape_out(idx_word.astype(idx_dt)))
     return tuple(result)
+
+
+def _flat_leading(a, batched):
+    """Collapse the (B, n) leading axes of a batched leaf to one axis."""
+    if not batched:
+        return a
+    return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
 
 
 def _neg_zero_flag(keys):

@@ -38,7 +38,25 @@ from . import keybits
 from .config import Config, SortOrder
 from .ops import argsort_engine, common, counting_engine
 
-__all__ = ["sort_keys", "sort_pairs", "sort_indices", "RadixSort"]
+__all__ = ["sort_keys", "sort_pairs", "sort_indices", "RadixSort",
+           "segment_ids_from_offsets"]
+
+
+def segment_ids_from_offsets(offsets, n: int):
+    """CUB-style segment description -> ``segment_ids`` array.
+
+    ``offsets``: non-decreasing segment start offsets (any 1-D int array,
+    with or without the leading 0 / trailing ``n``). Returns an int32 array
+    of length ``n`` where element ``i`` holds the index of the segment
+    containing ``i`` (cf. cub::DeviceSegmentedRadixSort's
+    ``d_begin_offsets``).
+    """
+    offsets = jnp.asarray(offsets)
+    if offsets.ndim != 1:
+        raise ValueError(f"offsets must be 1-D, got shape {offsets.shape}")
+    return jnp.searchsorted(
+        offsets, jnp.arange(n, dtype=offsets.dtype), side="right"
+    ).astype(jnp.int32)
 
 _ENGINES = ("auto", "pallas", "counting", "argsort", "lsd_argsort")
 
@@ -77,24 +95,28 @@ def _sort_arrays(bits, arrays, start_bit, end_bit, method):
                      "zeros_exact"),
 )
 def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
-                zeros_exact=True):
+                zeros_exact=True, segment_ids=None):
     """want: subset of {'keys','values','indices'} controlling outputs."""
     n = keys.shape[0]
     leaves, treedef = [], None
     if "values" in want:
         leaves, treedef = jax.tree.flatten(values)
         for leaf in leaves:
-            if leaf.shape[:1] != (n,):
+            if leaf.shape[: keys.ndim] != keys.shape:
                 raise ValueError(
-                    f"value leading axis {leaf.shape[:1]} != keys length {n}"
+                    f"value leading axes {leaf.shape[: keys.ndim]} != "
+                    f"keys shape {keys.shape}"
                 )
+    seg_bits = (None if segment_ids is None
+                else keybits.key_bits(segment_ids))
 
     if method == "pallas":
         from .ops import pallas_engine
 
         out = pallas_engine.sort_semantics(
             keys, leaves, descending=descending, start_bit=start_bit,
-            end_bit=end_bit, want=want, zeros_exact=zeros_exact)
+            end_bit=end_bit, want=want, zeros_exact=zeros_exact,
+            seg_bits=seg_bits)
         result = []
         pos = 0
         if "keys" in want:
@@ -113,10 +135,27 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
         arrays.append(keys)
     arrays.extend(leaves)
     if "indices" in want:
-        idx_dt = jnp.int32 if n < 2**31 else jnp.int64
-        arrays.append(jnp.arange(n, dtype=idx_dt))
+        idx_dt = jnp.int32 if keys.shape[-1] < 2**31 else jnp.int64
+        arrays.append(jnp.broadcast_to(
+            jnp.arange(keys.shape[-1], dtype=idx_dt), keys.shape))
 
-    out = _sort_arrays(bits, arrays, start_bit, end_bit, method)
+    seg_width = (0 if seg_bits is None
+                 else np.dtype(seg_bits.dtype).itemsize * 8)
+
+    def row_sort(b, sb, *arrs):
+        arrs = list(arrs)
+        if sb is None:
+            return tuple(_sort_arrays(b, arrs, start_bit, end_bit, method))
+        # segmented on portable engines: two stable passes (LSD composition)
+        # — by key bits, then by segment bits
+        out1 = _sort_arrays(b, arrs + [sb], start_bit, end_bit, method)
+        return tuple(_sort_arrays(out1[-1], out1[:-1], 0, seg_width, method))
+
+    if keys.ndim == 2:
+        # batched rows for the portable engines: vmap the whole row sort
+        out = jax.vmap(row_sort)(bits, seg_bits, *arrays)
+    else:
+        out = row_sort(bits, seg_bits, *arrays)
 
     result = []
     pos = 0
@@ -133,8 +172,10 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
 
 def _prep(keys, order, start_bit, end_bit):
     keys = jnp.asarray(keys)
-    if keys.ndim != 1:
-        raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
+    if keys.ndim not in (1, 2):
+        raise ValueError(
+            f"keys must be 1-D (single sort) or 2-D (batched row-wise "
+            f"sorts), got shape {keys.shape}")
     if np.dtype(keys.dtype) == np.float64 and jax.default_backend() in ("tpu", "axon"):
         # TPU has no native float64: device f64 arrays are stored lossily, so
         # a bit-exact f64 sort through f64 arrays is impossible on this
@@ -149,12 +190,38 @@ def _prep(keys, order, start_bit, end_bit):
     return keys, descending, start_bit, end_bit
 
 
+def _prep_segments(segment_ids, keys):
+    """Validate/normalize ``segment_ids`` to a key_bits-supported int array."""
+    if segment_ids is None:
+        return None
+    seg = jnp.asarray(segment_ids)
+    if seg.shape != keys.shape:
+        raise ValueError(
+            f"segment_ids shape {seg.shape} != keys shape {keys.shape}")
+    dt = np.dtype(seg.dtype)
+    if dt.kind not in "iu":
+        raise TypeError(f"segment_ids must be integers, got {dt}")
+    if dt.itemsize < 4:
+        seg = seg.astype(jnp.int32)
+    return seg
+
+
 def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
-              method="auto", zeros_exact=True):
+              method="auto", zeros_exact=True, segment_ids=None):
     """Stable radix sort of ``keys``; returns the sorted array.
 
     Reference parity: ``RadixSort::sortKeys`` (hpp:845-848). The result
     replaces the input buffer there; here it is returned functionally.
+
+    2-D ``keys`` are a *batch*: each row is sorted independently (TPU-native
+    extension; on the Pallas engine this is a truncated network at exactly
+    ``B x`` one row's cost, not a sort of ``B*n`` elements).
+
+    ``segment_ids`` (keys-shaped integers) selects a *segmented* sort —
+    elements order by ``(segment_id, key)``, stable; with non-decreasing ids
+    this sorts each segment in place (cub::DeviceSegmentedRadixSort
+    analogue; no reference counterpart). Segment ids always order
+    ascending; ``order`` applies to keys within a segment.
 
     ``zeros_exact=False`` is a float-keys fast path (~2x on the Pallas
     engine: 1 sorted word instead of bits + tagged stability index): every
@@ -167,16 +234,20 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
     (out,) = _sort_entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys",), zeros_exact=zeros_exact,
+        segment_ids=_prep_segments(segment_ids, keys),
     )
     return out
 
 
-def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None, method="auto"):
+def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
+               method="auto", segment_ids=None):
     """Stable key-value sort; returns ``(sorted_keys, reordered_values)``.
 
     ``values`` may be a single array or a pytree of arrays sharing the keys'
     leading axis (reference: ``sortPairs``, hpp:849-852, limited there to
     4/8/16-byte payloads; u128 payloads map to shape ``(n, 4)`` uint32).
+    2-D keys sort each row independently; value leaves then share the
+    leading ``(B, n)`` axes.
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
@@ -184,19 +255,23 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None, me
     out_keys, out_values = _sort_entry(
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys", "values"),
+        segment_ids=_prep_segments(segment_ids, keys),
     )
     return out_keys, out_values
 
 
-def sort_indices(keys, *, order="ascending", start_bit=0, end_bit=None, method="auto"):
+def sort_indices(keys, *, order="ascending", start_bit=0, end_bit=None,
+                 method="auto", segment_ids=None):
     """The stable sorting permutation: ``keys[perm]`` is sorted (stable argsort
     by transformed key bits). TPU-native extension with no reference analogue —
-    equivalent to ``sort_pairs(keys, iota)[1]``."""
+    equivalent to ``sort_pairs(keys, iota)[1]``. 2-D keys return the per-row
+    permutation (``jnp.take_along_axis(keys, perm, 1)`` is row-sorted)."""
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
     (perm,) = _sort_entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("indices",),
+        segment_ids=_prep_segments(segment_ids, keys),
     )
     return perm
 

@@ -91,8 +91,26 @@ k5, v5 = thrs.sort_pairs(jnp.asarray(x), jnp.asarray(v128), method="pallas")
 p5 = oracle_perm(x)
 check("u128 payload", v5, v128[p5])
 
+# batched rows (2-D keys: independent row sorts)
+xb = rng.integers(0, 2**32, size=(64, 5000), dtype=np.uint32)
+check("batched keys", thrs.sort_keys(jnp.asarray(xb), method="pallas"),
+      np.sort(xb, axis=1))
+vb = np.broadcast_to(np.arange(5000, dtype=np.uint32), (64, 5000)).copy()
+xbd = (xb % 11).astype(np.uint32)
+kb, vbo = thrs.sort_pairs(jnp.asarray(xbd), jnp.asarray(vb), method="pallas")
+pb = np.argsort(xbd, axis=1, kind="stable")
+check("batched pairs stability", vbo, np.take_along_axis(vb, pb, 1))
+
+# segmented sort (order by (segment, key), stable)
+n = 100000
+xs = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+seg = np.sort(rng.integers(0, 37, size=n).astype(np.int32))
+ks = thrs.sort_keys(jnp.asarray(xs), segment_ids=jnp.asarray(seg),
+                    method="pallas")
+check("segmented keys", ks, xs[np.lexsort((xs, seg))])
+
 # error paths
-for bad in (lambda: thrs.sort_keys(jnp.zeros((4, 4), jnp.uint32)),
+for bad in (lambda: thrs.sort_keys(jnp.zeros((2, 3, 4), jnp.uint32)),
             lambda: thrs.sort_keys(jnp.zeros(4, jnp.uint32), method="bogus"),
             lambda: thrs.sort_keys(jnp.zeros(4, jnp.uint32), start_bit=9, end_bit=3)):
     try:
