@@ -94,10 +94,32 @@ def test_psort_matches_single_chip_float_bits(mesh):
 
 
 def test_psort_pallas_local_method(mesh):
-    # pallas local sorts inside shard_map (interpret mode on the CPU mesh)
+    # pallas local sorts inside shard_map (interpret mode on the CPU mesh);
+    # exercises the exchange merge tree + rebalance bitonic merge
     n = 4096
     x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
     got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh, method="pallas"))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_psort_pallas_pairs_duplicates(mesh):
+    # merge-tree path with heavy duplicates + payload stability
+    n = 3000
+    x = (RNG.integers(0, 6, size=n)).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    k, vv = psort_pairs(jnp.asarray(x), jnp.asarray(v), mesh=mesh,
+                        method="pallas")
+    p = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), x[p])
+    np.testing.assert_array_equal(np.asarray(vv), v[p])
+
+
+@pytest.mark.parametrize("ndev", [3, 5])
+def test_psort_pallas_non_pow2_mesh(ndev):
+    # merge tree pads the run count to a power of two with sentinel rows
+    m = make_sort_mesh(jax.devices()[:ndev])
+    x = RNG.integers(0, 2**32, size=7777, dtype=np.uint32)
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=m, method="pallas"))
     np.testing.assert_array_equal(got, np.sort(x))
 
 

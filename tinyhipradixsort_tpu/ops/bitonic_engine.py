@@ -554,6 +554,41 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     return words[:ncmp], words[ncmp:]
 
 
+def merge_words_rows(cmp_words: list, carry_words: list, shape,
+                     *, interpret: bool | None = None):
+    """Bitonic-merge each row to ascending order.
+
+    ``shape = (B, nr)`` with ``nr`` a power of two; every row of the
+    row-major flat words must already be a *bitonic* sequence (e.g.
+    ``[ascending run, descending run]``, sentinel plateaus allowed). Runs
+    only the final merge stage — ``log2(nr)+1`` substages per row instead of
+    a full sort. The batch axis pads to a power of two with sentinel rows
+    (constant rows are trivially bitonic)."""
+    if interpret is None:
+        interpret = common.interpret_default()
+    B, nr = shape
+    if nr <= 1 or B == 0:
+        return cmp_words, carry_words
+    if nr & (nr - 1):
+        raise ValueError(f"merge_words_rows needs power-of-two rows, got {nr}")
+    ncmp = len(cmp_words)
+    r = nr.bit_length() - 1
+    L = max(_ceil_log2(B) + r, MIN_L)
+    b_pad = 1 << (L - r)
+
+    def pad(w, fill):
+        if B == b_pad:
+            return w
+        return jnp.concatenate(
+            [w, jnp.full(((b_pad - B) * nr,), fill, jnp.uint32)])
+
+    words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
+    words += [pad(w, jnp.uint32(0)) for w in carry_words]
+    words = _run_network(words, ncmp, L, [r], interpret, forced_asc=r)
+    words = [w[: B * nr] for w in words]
+    return words[:ncmp], words[ncmp:]
+
+
 def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool):
     """Merge a sorted-ascending run with a sorted-descending run.
 

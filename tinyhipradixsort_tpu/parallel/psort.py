@@ -79,6 +79,50 @@ def _local_sort_words(cmp_words, carry_words, method: str):
     return ([w[perm] for w in cmp_words], [w[perm] for w in carry_words])
 
 
+def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method):
+    """Merge ``nrows`` sorted sentinel-padded runs (concatenated flat, each
+    ``rowlen`` long) into one sorted run.
+
+    The exchange delivers *already sorted* segments, so a full local re-sort
+    wastes ~L(L+1)/2 substages; instead pair rows as ``[asc, reversed(asc)]``
+    (bitonic) and batch-merge — ``log2(nrows)`` single-stage rounds. Output
+    may be longer than the input (row padding); sentinels stay at the tail.
+    """
+    if method != "pallas" or nrows <= 1:
+        if nrows <= 1:
+            return list(cmp_words), list(carry_words)
+        return _local_sort_words(cmp_words, carry_words, method)
+    ncmp = len(cmp_words)
+    r = 1 << max(rowlen - 1, 0).bit_length()  # next pow2 >= rowlen
+    rows = 1 << max(nrows - 1, 0).bit_length()
+
+    def pad(w, fill):
+        w = w.reshape(nrows, rowlen)
+        if rowlen != r:
+            w = jnp.concatenate(
+                [w, jnp.full((nrows, r - rowlen), fill, jnp.uint32)], axis=1)
+        if nrows != rows:
+            w = jnp.concatenate(
+                [w, jnp.full((rows - nrows, r), fill, jnp.uint32)], axis=0)
+        return w.reshape(-1)
+
+    words = [pad(w, SENTINEL) for w in cmp_words]
+    words += [pad(w, jnp.uint32(0)) for w in carry_words]
+    m, k = r, rows
+    while k > 1:
+        def bitonic_pairs(w):
+            w2 = w.reshape(k // 2, 2, m)
+            return jnp.concatenate(
+                [w2[:, 0], jnp.flip(w2[:, 1], axis=1)], axis=1).reshape(-1)
+
+        words = [bitonic_pairs(w) for w in words]
+        m, k = m * 2, k // 2
+        cw, kw = bitonic_engine.merge_words_rows(
+            words[:ncmp], words[ncmp:], (k, m))
+        words = list(cw) + list(kw)
+    return words[:ncmp], words[ncmp:]
+
+
 def _searchsorted_words(sorted_words, query_words):
     """Left insertion points of query tuples in sorted word tuples.
 
@@ -181,10 +225,11 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
     recv, recv_lens = _exchange(list(cmp_words) + list(carry_words), ncmp,
                                 cuts, jnp.minimum(seg, cap), cap)
 
-    # 5. merge
-    cmp_words, carry_words = _local_sort_words(recv[:ncmp], recv[ncmp:], method)
+    # 5. merge: the received segments are already sorted — a log2(P)-round
+    # bitonic merge tree replaces the full re-sort (docs/DESIGN.md §4)
+    cmp_words, carry_words = _merge_runs_tree(recv[:ncmp], recv[ncmp:],
+                                              P_, cap, method)
     count = jnp.sum(recv_lens).astype(jnp.int32)
-    buflen = P_ * cap
 
     # 6. boundary rebalance to exactly B per chip
     counts = jax.lax.all_gather(count, AXIS)  # (P,)
@@ -202,17 +247,28 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
 
     k0, k1 = cuts3[me], cuts3[me + 1]
     kept_mask_len = k1 - k0
-    final_words = []
+    kept_words = []
     for i, w in enumerate(list(cmp_words) + list(carry_words)):
         fill = SENTINEL if i < ncmp else jnp.uint32(0)
         slack = jnp.full((B,), fill, jnp.uint32)
         kept = jax.lax.dynamic_slice(jnp.concatenate([w, slack]), (k0,), (B,))
         keep = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) < kept_mask_len
-        kept = jnp.where(keep, kept, fill)
-        final_words.append(jnp.concatenate([kept, recv3[i]]))
+        kept_words.append(jnp.where(keep, kept, fill))
 
-    cmp_words, carry_words = _local_sort_words(
-        final_words[:ncmp], final_words[ncmp:], method)
+    if method == "pallas":
+        # kept run is sorted; merge-tree the received boundary pieces and
+        # bitonic-merge the two runs (1 + log2(P) stages vs a full sort)
+        m3c, m3k = _merge_runs_tree(recv3[:ncmp], recv3[ncmp:],
+                                    P_, cap3, method)
+        out = bitonic_engine._merge_sorted_runs(
+            kept_words, [jnp.flip(w) for w in list(m3c) + list(m3k)],
+            ncmp, bitonic_engine.common.interpret_default())
+        cmp_words, carry_words = out[:ncmp], out[ncmp:]
+    else:
+        final_words = [jnp.concatenate([kw, r3])
+                       for kw, r3 in zip(kept_words, recv3)]
+        cmp_words, carry_words = _local_sort_words(
+            final_words[:ncmp], final_words[ncmp:], method)
     cmp_words = tuple(w[:B] for w in cmp_words)
     carry_words = tuple(w[:B] for w in carry_words)
     overflow = jax.lax.psum(overflow.astype(jnp.int32), AXIS) > 0
