@@ -27,6 +27,17 @@ from tinyhipradixsort_tpu.utils.profiling import time_fn  # noqa: E402
 SIZES = {"1M": 1 << 20, "16M": 1 << 24, "64M": 1 << 26, "256M": 1 << 28}
 
 
+def repeat_fn(fn, loops):
+    """Chain `loops` invocations inside one jit (amortizes the ~30 ms
+    dispatch floor; valid because bitonic is data-oblivious)."""
+    def run(*xs):
+        def body(_, c):
+            r = fn(*c)
+            return r if isinstance(r, tuple) else (r,)
+        return jax.lax.fori_loop(0, loops, body, xs)
+    return jax.jit(run)
+
+
 def gen(dtype, n, rng):
     dtype = np.dtype(dtype)
     if dtype.kind == "f":
@@ -54,11 +65,18 @@ def main():
             (f"sort_keys u64 {label}", np.uint64, n, False),
             (f"sort_pairs u32+u32 {label}", np.uint32, n, True),
         ]
+    # batched row-wise sort (no reference analogue; jnp axis-1 comparison)
+    workloads.append(("sort_keys u32 batched 4096x4096", np.uint32,
+                      ("batched", 4096, 4096), False))
 
     results = []
     print(f"| workload | this engine | jnp.sort | ratio |")
     print(f"|---|---|---|---|")
     for name, dtype, n, pairs in workloads:
+        batched = isinstance(n, tuple)
+        if batched:
+            _, B, nr = n
+            n = B * nr
         if np.dtype(dtype).itemsize * n * (4 if pairs or dtype == np.uint64 else 3) > 12e9:
             continue  # HBM guard
         # amortize the ~30 ms dispatch floor for small n by chaining the sort
@@ -66,14 +84,25 @@ def main():
         # (sorting sorted data costs the same)
         loops = min(max(1, (1 << 25) // n), 32)
         keys = jax.device_put(jnp.asarray(gen(dtype, n, rng)))
+        if batched:
+            keys = keys.reshape(B, nr)
+            ours = repeat_fn(lambda k: thrs.sort_keys(k, method=method), loops)
+            ref = repeat_fn(lambda k: jnp.sort(k, axis=1), loops)
+            t_ours, _ = time_fn(ours, keys, reps=args.reps)
+            t_ref, _ = time_fn(ref, keys, reps=args.reps)
+            t_ours /= loops
+            t_ref /= loops
+            row = {"workload": name, "n": n, "loops": loops,
+                   "ours_s": round(t_ours, 6), "jnp_s": round(t_ref, 6),
+                   "ours_keys_per_s": round(n / max(t_ours, 1e-9), 1),
+                   "speedup_vs_jnp": round(t_ref / max(t_ours, 1e-9), 2)}
+            results.append(row)
+            print(f"| {name} | {n/max(t_ours,1e-9)/1e9:.3f} Gkeys/s "
+                  f"| {n/max(t_ref,1e-9)/1e9:.3f} Gkeys/s "
+                  f"| {row['speedup_vs_jnp']:.2f}x |", flush=True)
+            continue
 
-        def repeat(fn):
-            def run(*xs):
-                def body(_, c):
-                    r = fn(*c)
-                    return r if isinstance(r, tuple) else (r,)
-                return jax.lax.fori_loop(0, loops, body, xs)
-            return jax.jit(run)
+        repeat = lambda fn: repeat_fn(fn, loops)  # noqa: E731
 
         if pairs:
             vals = jax.device_put(jnp.arange(n, dtype=jnp.uint32))

@@ -10,6 +10,19 @@ from tinyhipradixsort_tpu.parallel import psort
 RNG = np.random.default_rng(0x1E57)
 
 
+def test_word_contract_checker():
+    ok_no_carry = be.check_word_contract([jnp.zeros(8, jnp.uint32)], [])
+    assert bool(ok_no_carry)
+    # duplicate cmp tuples + carry -> unsafe
+    cmp = [jnp.asarray(np.array([1, 2, 2, 3], np.uint32)),
+           jnp.asarray(np.array([0, 5, 5, 0], np.uint32))]
+    carry = [jnp.arange(4, dtype=jnp.uint32)]
+    assert not bool(be.check_word_contract(cmp, carry))
+    # same cmp made distinct by an index word -> safe
+    assert bool(be.check_word_contract(cmp + [jnp.arange(4, dtype=jnp.uint32)],
+                                       carry))
+
+
 @pytest.mark.parametrize("L,tile,chunk,rot", [
     (10, 18, 13, 0), (13, 18, 13, 10), (20, 18, 13, 10), (26, 18, 13, 10),
     (15, 14, 11, 10),

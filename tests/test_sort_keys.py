@@ -74,3 +74,16 @@ def test_sorted_and_reverse_inputs():
     for arr in (keys, keys[::-1].copy()):
         got = np.asarray(thrs.sort_keys(jnp.asarray(arr), method="counting"))
         np.testing.assert_array_equal(got, np.sort(arr))
+
+
+def test_donate_returns_same_result():
+    # donate=True reuses the input buffer (reference result-replaces-input
+    # parity, hpp:936-943); on CPU donation is ignored but must stay correct
+    keys = np.random.default_rng(4).integers(0, 2**32, 4096, dtype=np.uint32)
+    got = np.asarray(thrs.sort_keys(jnp.asarray(keys), method="argsort",
+                                    donate=True))
+    np.testing.assert_array_equal(got, np.sort(keys))
+    k, v = thrs.sort_pairs(jnp.asarray(keys),
+                           jnp.arange(4096, dtype=jnp.uint32), donate=True,
+                           method="argsort")
+    np.testing.assert_array_equal(np.asarray(k), np.sort(keys))

@@ -455,6 +455,25 @@ def _tile_bits_for(nwords: int, L: int) -> int:
     return max(MIN_L, min(18, int(math.floor(math.log2(budget_elems))), L))
 
 
+def check_word_contract(cmp_words: list, carry_words: list):
+    """Debug validator for the :func:`sort_words` word contract.
+
+    Returns a device boolean scalar: True iff the call is safe — either
+    there are no carry words, or the cmp tuples are all distinct (violations
+    produce silently nondeterministic carry placement, not an error). O(n
+    log n); intended for tests and debugging, not the hot path.
+    """
+    if not carry_words or cmp_words[0].shape[0] <= 1:
+        return jnp.bool_(True)
+    perm = jnp.lexsort(tuple(reversed(cmp_words)))
+    dup = None
+    for w in cmp_words:
+        s = w[perm]
+        eq = s[1:] == s[:-1]
+        dup = eq if dup is None else (dup & eq)
+    return ~jnp.any(dup)
+
+
 def sort_words(cmp_words: list, carry_words: list,
                *, interpret: bool | None = None):
     """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
@@ -463,7 +482,9 @@ def sort_words(cmp_words: list, carry_words: list,
 
     Contract: either the cmp tuples are all distinct (e.g. include an index
     word), or carry_words is such that equal-cmp elements are bit-identical
-    in every word (e.g. empty). The network swaps ties freely.
+    in every word (e.g. empty). The network swaps ties freely — violating
+    the contract silently places carries of tied tuples nondeterministically
+    (:func:`check_word_contract` is the debug validator).
 
     interpret=None auto-selects: compiled kernels on TPU, the Pallas
     interpreter elsewhere.

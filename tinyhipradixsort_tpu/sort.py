@@ -170,6 +170,18 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
     return tuple(result)
 
 
+# donating variant: the caller's key/value buffers are reused in place --
+# the functional spelling of the reference's result-replaces-input contract
+# (hpp:936-943). Frees ~n*4B of HBM; required for n = 2**30 u32 keys-only
+# on a 16 GB chip (measured: 2**30 OOMs without donation, sorts with it).
+_sort_entry_donated = jax.jit(
+    _sort_entry.__wrapped__,
+    static_argnames=("descending", "start_bit", "end_bit", "method", "want",
+                     "zeros_exact"),
+    donate_argnums=(0, 1),
+)
+
+
 def _prep(keys, order, start_bit, end_bit):
     keys = jnp.asarray(keys)
     if keys.ndim not in (1, 2):
@@ -207,7 +219,8 @@ def _prep_segments(segment_ids, keys):
 
 
 def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
-              method="auto", zeros_exact=True, segment_ids=None):
+              method="auto", zeros_exact=True, segment_ids=None,
+              donate=False):
     """Stable radix sort of ``keys``; returns the sorted array.
 
     Reference parity: ``RadixSort::sortKeys`` (hpp:845-848). The result
@@ -228,10 +241,16 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
     ``-0.0`` comes back as ``+0.0`` (order is unaffected — the two zeros
     compare equal). Ignored for integer keys and by the portable engines,
     which are always exact.
+
+    ``donate=True`` reuses the input buffer in place (it becomes invalid
+    afterwards) — the functional spelling of the reference's
+    result-replaces-input contract (hpp:936-943); required for the largest
+    single-chip sorts (n = 2**30 u32 on 16 GB HBM).
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
-    (out,) = _sort_entry(
+    entry = _sort_entry_donated if donate else _sort_entry
+    (out,) = entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys",), zeros_exact=zeros_exact,
         segment_ids=_prep_segments(segment_ids, keys),
@@ -240,7 +259,7 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
 
 
 def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
-               method="auto", segment_ids=None):
+               method="auto", segment_ids=None, donate=False):
     """Stable key-value sort; returns ``(sorted_keys, reordered_values)``.
 
     ``values`` may be a single array or a pytree of arrays sharing the keys'
@@ -252,7 +271,8 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
     values = jax.tree.map(jnp.asarray, values)
-    out_keys, out_values = _sort_entry(
+    entry = _sort_entry_donated if donate else _sort_entry
+    out_keys, out_values = entry(
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys", "values"),
         segment_ids=_prep_segments(segment_ids, keys),
