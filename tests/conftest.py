@@ -17,5 +17,29 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: cuts full-suite reruns from ~20 min of XLA
+# compiles to seconds, and sidesteps an XLA-CPU compiler segfault observed
+# on this image after a few hundred in-process compilations (the crash is
+# positional, not program-specific: with a warm cache the run stays under
+# the trigger count). Populate per-file (`pytest tests/test_X.py`) if a cold
+# full run ever hits it.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("THRS_TEST_CACHE", "/tmp/thrs_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_executables_between_modules():
+    """Free loaded XLA executables after each test module.
+
+    The XLA-CPU runtime on this image segfaults (in fresh compiles *and* in
+    cache-deserialization alike) once a single process holds a few hundred
+    loaded executables; dropping them per module stays far below the
+    threshold, and the persistent compilation cache makes re-loads cheap.
+    """
+    yield
+    jax.clear_caches()

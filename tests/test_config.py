@@ -45,9 +45,10 @@ def test_temporary_buffer_bytes_monotone():
     assert est[2] >= 10**6 * (8 + 8)
 
 
-def test_keys_must_be_1d():
+def test_keys_must_be_1d_or_2d():
+    # 2-D keys are valid (batched row-wise sorts); 3-D are not
     with pytest.raises(ValueError):
-        thrs.sort_keys(jnp.zeros((4, 4), jnp.uint32))
+        thrs.sort_keys(jnp.zeros((2, 3, 4), jnp.uint32))
 
 
 def test_unknown_method():
