@@ -17,12 +17,14 @@ import dataclasses
 import enum
 
 import numpy as np
+from jax.numpy import bfloat16 as _jnp_bfloat16
 
 __all__ = ["KeyType", "ValueType", "SortOrder", "Config", "temporary_buffer_bytes"]
 
 
 class KeyType(enum.Enum):
-    """Key dtypes (reference: hpp:638-644; I32/I64 are extensions)."""
+    """Key dtypes (reference: hpp:638-644; I32/I64 and the 16-bit entries
+    are extensions — BF16 is the native TPU compute dtype)."""
 
     U32 = np.dtype(np.uint32)
     U64 = np.dtype(np.uint64)
@@ -30,6 +32,10 @@ class KeyType(enum.Enum):
     F64 = np.dtype(np.float64)
     I32 = np.dtype(np.int32)
     I64 = np.dtype(np.int64)
+    U16 = np.dtype(np.uint16)
+    I16 = np.dtype(np.int16)
+    F16 = np.dtype(np.float16)
+    BF16 = np.dtype(_jnp_bfloat16)
 
     @classmethod
     def from_dtype(cls, dtype) -> "KeyType":

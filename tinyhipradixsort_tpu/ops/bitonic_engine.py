@@ -366,8 +366,12 @@ def array_to_words(a) -> tuple[list, dict]:
             return [hi, lo], {"kind": "64", "dtype": dtype}
         if dtype.itemsize == 4:
             return [_bitcast_u32(a)], {"kind": "32", "dtype": dtype}
-        if dtype.itemsize < 4:
-            # widen 8/16-bit payloads losslessly
+        if dtype.itemsize == 2:
+            # bit-exact widen: bitcast to u16 then zero-extend (preserves
+            # NaN payload bits of f16/bf16, unlike a value cast)
+            u = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+            return [u], {"kind": "narrow16", "dtype": dtype}
+        if dtype.itemsize == 1:
             u = a.astype(jnp.uint32 if dtype.kind in "ui" else jnp.float32)
             return [_bitcast_u32(u)], {"kind": "narrow", "dtype": dtype}
         raise TypeError(f"unsupported payload dtype {dtype}")
@@ -394,6 +398,9 @@ def words_to_array(words: list, recipe: dict):
         return u.astype(dtype) if dtype.kind != "u" else u
     if kind == "32":
         return _bitcast_from_u32(words[0], dtype)
+    if kind == "narrow16":
+        return jax.lax.bitcast_convert_type(
+            words[0].astype(jnp.uint16), dtype)
     if kind == "narrow":
         wide = _bitcast_from_u32(words[0], np.dtype(np.uint32) if dtype.kind in "ui" else np.dtype(np.float32))
         return wide.astype(dtype)

@@ -86,10 +86,11 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     # Full-width float keys rebuild from the sorted bits: the transform is
     # injective except for -0.0/+0.0, and the stability index's low bit
     # records which zeros were negative (tag preserves tie order).
-    tag_zero = (full and dtype.kind == "f" and zeros_exact
+    kind = keybits.dtype_kind(dtype)
+    tag_zero = (full and kind == "f" and zeros_exact
                 and "keys" in want and n < (1 << 31))
-    keys_from_bits = full and (dtype.kind in "iu" or tag_zero
-                               or (dtype.kind == "f" and not zeros_exact))
+    keys_from_bits = full and (kind in "iu" or tag_zero
+                               or (kind == "f" and not zeros_exact))
     need_keys_carry = ("keys" in want) and not keys_from_bits
     need_vals = "values" in want
     need_idx_out = "indices" in want
@@ -137,16 +138,20 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         elif keys_from_bits:
             sorted_bits = _join_cmp(cmp_out[nseg:nseg + nk], dtype,
                                     start_bit, end_bit, bits.dtype)
-            out_keys = keybits.key_bits_inverse(
+            raw = keybits.key_bits_inverse_raw(
                 sorted_bits, dtype, descending=descending)
             if tag_zero:
+                # restore -0.0 signs in the raw integer domain: a float-
+                # domain select would let XLA:CPU canonicalize neighboring
+                # bf16/f16 NaN payload bits
                 zero_bits = keybits.np_key_bits(
                     np.zeros(1, dtype), descending=descending)[0]
                 was_neg = (cmp_out[-1] & jnp.uint32(1)) == jnp.uint32(1)
-                neg_zero = dtype.type(-0.0)
-                out_keys = jnp.where((sorted_bits == zero_bits) & was_neg,
-                                     neg_zero, out_keys)
-            result.append(reshape_out(out_keys))
+                udt = raw.dtype.type
+                sign = udt(1 << (keybits.bit_width(dtype) - 1))
+                raw = jnp.where((sorted_bits == zero_bits) & was_neg,
+                                raw | sign, raw)
+            result.append(reshape_out(keybits.raw_to_keys(raw, dtype)))
         else:
             k = recipes[rpos]["nwords"]
             result.append(reshape_out(bitonic_engine.words_to_array(
@@ -185,17 +190,8 @@ def _flat_leading(a, batched):
     return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
 
 
-def _neg_zero_flag(keys):
-    """1 where the float key is bitwise ``-0.0``, else 0 (uint32)."""
-    dtype = np.dtype(keys.dtype)
-    sign = jnp.uint32(0x80000000)
-    if dtype.itemsize == 4:
-        u = jax.lax.bitcast_convert_type(keys, jnp.uint32)
-        return (u == sign).astype(jnp.uint32)
-    # f64: two u32 words, minor axis least-significant first (TPU-safe form;
-    # f64 only reaches the device path on CPU — sort.py guards TPU)
-    w = jax.lax.bitcast_convert_type(keys, jnp.uint32)
-    return ((w[..., 1] == sign) & (w[..., 0] == jnp.uint32(0))).astype(jnp.uint32)
+_neg_zero_flag = keybits.neg_zero_flag
+
 
 
 def _join_cmp(cmp_words, key_dtype, start_bit, end_bit, bits_dtype):

@@ -308,12 +308,15 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     n = keys.shape[0]
     if n >= (1 << 32):
         raise ValueError("psort supports n < 2**32")
-    if (np.dtype(keys.dtype) == np.float64
+    kdt = np.dtype(keys.dtype)
+    if ((kdt == np.float64
+         or (kdt.itemsize == 2 and keybits.dtype_kind(kdt) == "f"))
             and jax.default_backend() in ("tpu", "axon")):
-        # same contract as sort.py: device f64 is lossy on TPU
+        # same contract as sort.py: device f64 is lossy on TPU, and 16-bit
+        # float NaN payloads canonicalize (bf16 denormals FTZ) on device
         raise TypeError(
-            "float64 keys are not representable losslessly on TPU; use the "
-            "np_key_bits/np_key_bits_inverse u64 host adapters.")
+            f"{kdt} keys are not representable losslessly on TPU; use the "
+            "np_key_bits/np_key_bits_inverse host adapters.")
     # B must divide by P (stride pre-exchange reshape) and by 8 (layout)
     quantum = P_ * math.lcm(P_, 8)
     n_pad = -(-max(n, quantum) // quantum) * quantum
@@ -329,8 +332,9 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
                                  SENTINEL))
     ncmp = len(cmp_words)
 
-    keys_from_bits = (dtype.kind in "iu"
-                      or (dtype.kind == "f" and not zeros_exact))
+    kkind = keybits.dtype_kind(dtype)
+    keys_from_bits = (kkind in "iu"
+                      or (kkind == "f" and not zeros_exact))
     need_keys_carry = ("keys" in want) and not keys_from_bits
 
     carry_words, recipes = [], []

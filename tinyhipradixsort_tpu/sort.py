@@ -130,9 +130,22 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
         return tuple(result)
 
     bits = keybits.key_bits(keys, descending=descending)
+    # 16-bit float keys: carry the (integer) bits + a -0.0 flag instead of
+    # the float array and rebuild after the sort. XLA:CPU canonicalizes
+    # bf16/f16 NaN payload bits and flushes denormals in several float ops
+    # (pad fills, scatters, selects) — and rewrites bitcast-wrapped chains
+    # back into the float domain, so the only robust form is to never
+    # materialize a 16-bit float array between the first and last bitcast.
+    dt = np.dtype(keys.dtype)
+    f16_keys = ("keys" in want and dt.itemsize == 2
+                and keybits.dtype_kind(dt) == "f")
     arrays = []
     if "keys" in want:
-        arrays.append(keys)
+        if f16_keys:
+            arrays.append(bits)
+            arrays.append(keybits.neg_zero_flag(keys))
+        else:
+            arrays.append(keys)
     arrays.extend(leaves)
     if "indices" in want:
         idx_dt = jnp.int32 if keys.shape[-1] < 2**31 else jnp.int64
@@ -160,8 +173,17 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
     result = []
     pos = 0
     if "keys" in want:
-        result.append(out[pos])
-        pos += 1
+        if f16_keys:
+            sorted_bits, flag = out[0], out[1]
+            raw = keybits.key_bits_inverse_raw(
+                sorted_bits, dt, descending=descending)
+            sign = raw.dtype.type(1 << 15)
+            raw = jnp.where(flag == 1, raw | sign, raw)
+            result.append(keybits.raw_to_keys(raw, dt))
+            pos = 2
+        else:
+            result.append(out[pos])
+            pos += 1
     if "values" in want:
         result.append(jax.tree.unflatten(treedef, out[pos : pos + len(leaves)]))
         pos += len(leaves)
@@ -188,14 +210,20 @@ def _prep(keys, order, start_bit, end_bit):
         raise ValueError(
             f"keys must be 1-D (single sort) or 2-D (batched row-wise "
             f"sorts), got shape {keys.shape}")
-    if np.dtype(keys.dtype) == np.float64 and jax.default_backend() in ("tpu", "axon"):
-        # TPU has no native float64: device f64 arrays are stored lossily, so
-        # a bit-exact f64 sort through f64 arrays is impossible on this
-        # backend. The supported TPU path is the u64 key-bits representation.
+    dt = np.dtype(keys.dtype)
+    if (dt == np.float64 or (dt.itemsize == 2 and keybits.dtype_kind(dt) == "f")) \
+            and jax.default_backend() in ("tpu", "axon"):
+        # Bit-exact float sorting is impossible through these dtypes on TPU
+        # hardware: f64 device arrays are stored lossily (no native f64),
+        # and f16/bf16 NaN payloads canonicalize (bf16 denormals also FTZ)
+        # in every device convert/bitcast. The supported TPU path is the
+        # integer key-bits representation, which is exact and fast (1-2
+        # sorted words).
         raise TypeError(
-            "float64 keys are not representable losslessly on TPU. Convert on "
-            "host with tinyhipradixsort_tpu.np_key_bits(keys) (u64), sort the "
-            "u64 bits on device, and invert with np_key_bits_inverse()."
+            f"{dt} keys are not representable losslessly on TPU. Convert on "
+            "host with tinyhipradixsort_tpu.np_key_bits(keys) "
+            f"({'u64' if dt.itemsize == 8 else 'u32'}), sort the bits on "
+            "device, and invert with np_key_bits_inverse()."
         )
     descending = SortOrder.parse(order).descending
     start_bit, end_bit = common.resolve_window(keys.dtype, start_bit, end_bit)

@@ -91,6 +91,32 @@ k5, v5 = thrs.sort_pairs(jnp.asarray(x), jnp.asarray(v128), method="pallas")
 p5 = oracle_perm(x)
 check("u128 payload", v5, v128[p5])
 
+# 16-bit keys: integers sort on device; f16/bf16 raise (NaN payloads
+# canonicalize on TPU converts) and go through the exact host bit adapters
+import ml_dtypes
+raw16 = rng.integers(0, 2**16, size=100000, dtype=np.uint16)
+for dt16 in (np.uint16, np.int16):
+    x16 = raw16.view(dt16)
+    got16 = np.asarray(thrs.sort_keys(jnp.asarray(x16), method="pallas"))
+    p16 = np.argsort(thrs.np_key_bits(x16), kind="stable")
+    check(f"keys {np.dtype(dt16).name} 16-bit", got16.view(np.uint16),
+          x16[p16].view(np.uint16))
+for fdt in (np.float16, ml_dtypes.bfloat16):
+    xf = raw16.view(fdt)
+    try:
+        thrs.sort_keys(jnp.asarray(xf))
+        print(f"FAIL: {np.dtype(fdt).name} keys did not raise on TPU"); fails += 1
+    except TypeError:
+        print(f"ok: {np.dtype(fdt).name} raises on TPU (host adapter contract)")
+    # the adapter path: host bits -> device u32 sort -> host inverse
+    bits16 = thrs.np_key_bits(xf)
+    sorted_bits = np.asarray(thrs.sort_keys(jnp.asarray(bits16), method="pallas"))
+    back = thrs.np_key_bits_inverse(sorted_bits, fdt)
+    p16 = np.argsort(bits16, kind="stable")
+    want16 = xf[p16].view(np.uint16).copy()
+    want16[want16 == 0x8000] = 0  # adapter normalizes -0.0 (documented)
+    check(f"{np.dtype(fdt).name} host-adapter sort", back.view(np.uint16), want16)
+
 # batched rows (2-D keys: independent row sorts)
 xb = rng.integers(0, 2**32, size=(64, 5000), dtype=np.uint32)
 check("batched keys", thrs.sort_keys(jnp.asarray(xb), method="pallas"),
