@@ -86,6 +86,9 @@ def main():
         keys = jax.device_put(jnp.asarray(gen(dtype, n, rng)))
         if batched:
             keys = keys.reshape(B, nr)
+            # sub-ms sorts: amortize the dispatch floor over more chained
+            # iterations (loops=2 proved noise-dominated)
+            loops = max(loops, 8)
             ours = repeat_fn(lambda k: thrs.sort_keys(k, method=method), loops)
             ref = repeat_fn(lambda k: jnp.sort(k, axis=1), loops)
             t_ours, _ = time_fn(ours, keys, reps=args.reps)

@@ -41,7 +41,7 @@ VPU compare-select work (~2000 ops/elem) the actual bound.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,13 @@ class Sweep:
     # stored-k value whose direction is forced ascending (batched row sort:
     # the final per-row merge stage must not alternate with row parity)
     forced_asc: int | None = None
+    # storage-rotation fusion: rotate the tile in VMEM after load (rot_in)
+    # / before store (rot_out) instead of paying a separate XLA transpose
+    # pass over HBM (~7 ms/word each way at 2**28). Values are the rotation
+    # amount within T = c+g tile bits; 0 = none. Only meaningful on local
+    # sweeps (tile == one 2**T block).
+    rot_in: int = 0
+    rot_out: int = 0
 
     @property
     def tile_elems(self) -> int:
@@ -258,9 +265,22 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
             out.append(jnp.stack([nlo, nhi], axis=1).reshape(shape))
         return out
 
+    def tile_rot(x, rot):
+        """Apply the storage bit-rotation within the tile in VMEM (the
+        in-kernel form of _rotate_storage on one 2**T block)."""
+        T = sweep.c + sweep.g
+        r = rot % T
+        if r == 0:
+            return x
+        return (x.reshape(1 << (T - r), 1 << r)
+                .swapaxes(0, 1)
+                .reshape(shape))
+
     def kernel(*refs):
         ins, outs = refs[:nwords], refs[nwords:]
         xs = [r[0, :, 0, :, :].reshape(shape) for r in ins]
+        if sweep.rot_in:
+            xs = [tile_rot(x, -sweep.rot_in) for x in xs]
         a = pl.program_id(0)
         b = pl.program_id(1)
         # note: masks are deliberately recomputed per substage — caching them
@@ -290,6 +310,8 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
                 else:
                     desc = ((a if kind == "a" else b) >> bit) & 1  # scalar
                 xs = substage_roll(xs, fb, desc)
+        if sweep.rot_out:
+            xs = [tile_rot(x, sweep.rot_out) for x in xs]
         g_dim = 1 << sweep.g
         c_rows = (1 << sweep.c) >> LANE_BITS
         for o, x in zip(outs, xs):
@@ -531,12 +553,28 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
     # under the most frequent substages. Only useful when the tile actually
     # has aligned flat bits (T > 10).
     rot = 10 if T > 10 else 0
+    parts = [part
+             for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages,
+                                      forced_asc)
+             for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL)]
     if rot:
-        words = [_rotate_storage(w, T, -rot) for w in words]
-    for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages, forced_asc):
-        for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL):
-            words = run_sweep(words, part, ncmp, interpret)
-    if rot:
+        # fuse the storage rotation into the boundary kernels when they are
+        # local sweeps (tile == one 2**T block) and the in-VMEM transpose
+        # view keeps both axes >= 128 lanes (Mosaic rejects narrower shape
+        # casts); otherwise pay the XLA transpose pass
+        def can_fuse(r):
+            rr = r % T
+            return rr == 0 or min(rr, T - rr) >= LANE_BITS
+
+        if parts and parts[0].c + parts[0].g == T and can_fuse(-rot):
+            parts[0] = _dc_replace(parts[0], rot_in=rot)
+        else:
+            words = [_rotate_storage(w, T, -rot) for w in words]
+        if parts and parts[-1].c + parts[-1].g == T and can_fuse(rot):
+            parts[-1] = _dc_replace(parts[-1], rot_out=rot)
+    for part in parts:
+        words = run_sweep(words, part, ncmp, interpret)
+    if rot and not (parts and parts[-1].rot_out):
         words = [_rotate_storage(w, T, rot) for w in words]
     return words
 
