@@ -9,14 +9,21 @@ JAX_PLATFORMS via sitecustomize, so the env var alone is not enough —
 import os
 import sys
 
+# THRS_TEST_PLATFORM=tpu runs the suite on the real chip (the nightly
+# full-density tier, see .claude/skills/verify/SKILL.md); default is the
+# 8-virtual-device CPU mesh.
+_TPU = os.environ.get("THRS_TEST_PLATFORM", "").lower() == "tpu"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _TPU and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: cuts full-suite reruns from ~20 min of XLA
 # compiles to seconds, and sidesteps an XLA-CPU compiler segfault observed
 # on this image after a few hundred in-process compilations (the crash is
@@ -30,6 +37,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the reference-density randomized tier (nightly; "
+             "reference bar: unittest.cpp TEST_ITERATION=128)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "full: reference-density randomized tier (needs --full)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full"):
+        return
+    skip = pytest.mark.skip(reason="full-density tier: pass --full")
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(autouse=True, scope="module")

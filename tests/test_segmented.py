@@ -103,11 +103,10 @@ def test_segment_ids_from_offsets():
     for offs in ([0, 3, 7], [3, 7], [0, 0, 3, 7, 10]):
         ids = np.asarray(thrs.segment_ids_from_offsets(
             jnp.asarray(np.array(offs, np.int32)), n))
-        # grouping must match [0,3) [3,7) [7,10)
-        want_groups = [0] * 3 + [1] * 4 + [2] * 3
-        remap = {}
-        groups = [remap.setdefault(i, len(remap)) for i in ids.tolist()]
-        assert groups == want_groups, (offs, ids)
+        # exact ids for [0,3) [3,7) [7,10): leading-0 conventions normalize
+        # so element 0 is always in segment 0 (ADVICE r1)
+        want = [0] * 3 + [1] * 4 + [2] * 3
+        assert ids.tolist() == want, (offs, ids)
 
 
 def test_segmented_validation():

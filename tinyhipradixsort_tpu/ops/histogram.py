@@ -46,10 +46,11 @@ def digit_histogram(bits, shift: int = 0, width: int = 8,
     """Histogram of the digit ``bits[shift : shift+width]`` per tile.
 
     bits: (n,) uint32/uint64 key bits. Returns (num_tiles, 2**width) int32.
-    Tail tiles are padded with all-ones bits; the pad falls in the top
-    bucket of the top digit only when the window covers the key's top bits —
-    callers slice or correct via ``n`` as the reference does with its exact
-    grid (hpp:864).
+    Tail tiles are padded with all-ones bits, whose digit is
+    ``(1 << width) - 1`` for *every* (shift, width) window — i.e. the pad
+    always inflates the last tile's top bucket. Callers that need exact
+    counts subtract ``num_tiles * tile - n`` from ``counts[-1, -1]`` (the
+    reference instead launches an exact grid, hpp:864).
     """
     if interpret is None:
         interpret = common.interpret_default()

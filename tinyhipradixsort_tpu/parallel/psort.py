@@ -21,18 +21,23 @@ static shapes throughout:
 3. **Partition**: local cuts = vectorized binary search of splitter tuples
    in the sorted shard.
 4. **Exchange**: one ``all_to_all`` of static ``(P, cap)`` sentinel-padded
-   buffers per word (cap ≈ slack*B/P); segment lengths ride along; a
-   replicated overflow flag reports capacity violations (regular sampling
-   bounds the violation probability; cf. PAPERS.md "Histogram Sort with
-   Sampling").
-5. **Merge**: local sort of the received padded buffer (sentinels sink to
-   the tail).
+   buffers per word, cap = max(slack*B/P, B/P + 2*ceil(B/oversample)) + 8
+   (the second term is the analytic worst-case segment under regular
+   sampling — overflow is impossible at defaults for value-spread inputs;
+   cf. PAPERS.md "Histogram Sort with Sampling"); segment lengths ride
+   along; any capacity violation raises (or returns the ``check=True``
+   flag) — never silent truncation. Entry pads (all-sentinel tuples) are
+   never exchanged: cuts clip at the real-element count.
+5. **Merge**: the received per-source segments are already sorted — a
+   log2(P)-round bitonic merge tree replaces a full re-sort.
 6. **Boundary rebalance**: exact output ranks from an all_gather of counts;
    each chip keeps the bulk of its run locally (a static-size dynamic
-   slice) and ships only the boundary pieces — whose size is bounded by the
-   splitter drift ≤ B/oversample — through a small second all_to_all; a
-   final local sort compacts. Output: exactly B elements per chip, i.e.
-   the input's own sharding.
+   slice) and ships only the boundary pieces — bounded by the cumulative
+   splitter drift, so they travel to *ring neighbors* only: 2R ppermutes
+   of one (cap3,) buffer each (an all_to_all of (P, cap3) rows would ship
+   (P-1)x padding — see tools/comms_model.py); a final bitonic merge
+   compacts. Output: exactly B elements per chip, i.e. the input's own
+   sharding. Weak-scaling model + predictions: docs/DESIGN.md §4a.
 """
 
 from __future__ import annotations
@@ -184,7 +189,8 @@ def _exchange(words, ncmp, cuts, lens, cap):
 # ---------------------------------------------------------------------------
 
 
-def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
+def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
+                 n_idx=1):
     """Runs inside shard_map; all words are (B,) u32 local shards.
 
     The last cmp word must be the original global index (distinct tuples).
@@ -214,10 +220,20 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
     sel = order[ranks]
     splitters = [w[sel] for w in samples]  # (P-1,) per cmp word
 
-    # 3. cuts (distinct tuples: left == right insertion point)
-    cut = _searchsorted_words(cmp_words, splitters)
+    # 3. cuts (distinct tuples: left == right insertion point). Entry pads
+    # are all-sentinel tuples that sort to the local tail (a real tuple's
+    # index words are never all-ones); they are *identical* — exchanging
+    # them would both waste bandwidth and, bunching onto the last chip,
+    # falsely trip the capacity check at small n — so clip every cut to the
+    # real-element count and never ship a pad: receivers re-synthesize
+    # sentinel fill for free.
+    pad_mask = cmp_words[ncmp - n_idx] == SENTINEL
+    for w in cmp_words[ncmp - n_idx + 1:ncmp]:
+        pad_mask &= w == SENTINEL
+    nreal = B - jnp.sum(pad_mask.astype(jnp.int32))
+    cut = jnp.minimum(_searchsorted_words(cmp_words, splitters), nreal)
     cuts = jnp.concatenate([jnp.zeros((1,), jnp.int32), cut,
-                            jnp.full((1,), B, jnp.int32)])
+                            nreal.reshape(1)])
     seg = cuts[1:] - cuts[:-1]
     overflow = jnp.any(seg > cap)
 
@@ -231,19 +247,49 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
                                               P_, cap, method)
     count = jnp.sum(recv_lens).astype(jnp.int32)
 
-    # 6. boundary rebalance to exactly B per chip
-    counts = jax.lax.all_gather(count, AXIS)  # (P,)
+    # 6. boundary rebalance to exactly B per chip. Global ranks (tgt,
+    # start_me) reach n_pad = P*B and overflow int32 once n >= 2**31 —
+    # promote the *global* arithmetic to i64 there; the clipped local cuts
+    # always fit i32 (<= count <= P*cap).
+    rank_dt = jnp.int64 if P_ * B >= (1 << 31) else jnp.int32
+    counts = jax.lax.all_gather(count, AXIS).astype(rank_dt)  # (P,)
     start_me = (jnp.cumsum(counts) - counts)[me]
-    tgt = jnp.arange(P_ + 1, dtype=jnp.int32) * B
-    cuts3 = jnp.clip(tgt - start_me, 0, count)
+    tgt = jnp.arange(P_ + 1, dtype=rank_dt) * B
+    cuts3 = jnp.clip(tgt - start_me, 0, count.astype(rank_dt)).astype(jnp.int32)
     seg3 = cuts3[1:] - cuts3[:-1]
     # the piece destined to myself stays local (it can be ~B long); only the
-    # boundary drift travels
+    # boundary drift travels — and it travels to *nearby* chips only (the
+    # boundary shift is the cumulative count drift). An all_to_all of
+    # (P, cap3) buffers would ship P-1 rows of padding per chip (measured
+    # by tools/comms_model.py: ~2B words of wire for ~B/oversample of
+    # payload); instead ship one (cap3,) buffer to each of the 2R ring
+    # neighbors via ppermute — wire drops (P-1)/2R-fold. Pieces beyond the
+    # radius or over cap3 raise the overflow flag (error, never silent).
     remote = jnp.arange(P_, dtype=jnp.int32) != me
+    R = min(P_ - 1, 4)
+    beyond = remote & (jnp.abs(jnp.arange(P_, dtype=jnp.int32) - me) > R)
+    overflow = (overflow | jnp.any(beyond & (seg3 > 0))
+                | jnp.any(remote & (seg3 > cap3)))
     send3 = jnp.where(remote, jnp.minimum(seg3, cap3), 0)
-    overflow = overflow | jnp.any(remote & (seg3 > cap3))
-    recv3, _ = _exchange(list(cmp_words) + list(carry_words), ncmp,
-                         cuts3, send3, cap3)
+    allw = list(cmp_words) + list(carry_words)
+    pieces = [[] for _ in allw]
+    for d in [s * r for r in range(1, R + 1) for s in (1, -1)]:
+        perm = [(s, (s + d) % P_) for s in range(P_)]
+        q = me + d  # my piece destined to chip q rides offset d
+        valid = (q >= 0) & (q < P_)
+        qc = jnp.clip(q, 0, P_ - 1)
+        ln = jnp.where(valid, send3[qc], 0)
+        for i, w in enumerate(allw):
+            fill = SENTINEL if i < ncmp else jnp.uint32(0)
+            chunk = jax.lax.dynamic_slice(
+                jnp.concatenate([w, jnp.full((cap3,), fill, jnp.uint32)]),
+                (cuts3[qc],), (cap3,))
+            keep = jax.lax.broadcasted_iota(jnp.int32, (cap3,), 0) < ln
+            pieces[i].append(jax.lax.ppermute(
+                jnp.where(keep, chunk, fill), AXIS, perm))
+    nrows3 = 2 * R
+    recv3 = [jnp.concatenate(pl) if pl else
+             jnp.zeros((0,), jnp.uint32) for pl in pieces]
 
     k0, k1 = cuts3[me], cuts3[me + 1]
     kept_mask_len = k1 - k0
@@ -255,15 +301,17 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample):
         keep = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) < kept_mask_len
         kept_words.append(jnp.where(keep, kept, fill))
 
-    if method == "pallas":
+    if method == "pallas" and nrows3 > 0:
         # kept run is sorted; merge-tree the received boundary pieces and
-        # bitonic-merge the two runs (1 + log2(P) stages vs a full sort)
+        # bitonic-merge the two runs (1 + log2(2R) stages vs a full sort)
         m3c, m3k = _merge_runs_tree(recv3[:ncmp], recv3[ncmp:],
-                                    P_, cap3, method)
+                                    nrows3, cap3, method)
         out = bitonic_engine._merge_sorted_runs(
             kept_words, [jnp.flip(w) for w in list(m3c) + list(m3k)],
             ncmp, bitonic_engine.common.interpret_default())
         cmp_words, carry_words = out[:ncmp], out[ncmp:]
+    elif method == "pallas":
+        cmp_words, carry_words = kept_words[:ncmp], kept_words[ncmp:]
     else:
         final_words = [jnp.concatenate([kw, r3])
                        for kw, r3 in zip(kept_words, recv3)]
@@ -297,17 +345,61 @@ def _pad_global(x, n_pad, fill):
     return jnp.pad(x, pad, constant_values=fill)
 
 
+def split_index64(n):
+    """Global index 0..n-1 as (hi, lo) u32 words (wide-index tie-break)."""
+    gidx = jax.lax.iota(jnp.uint64, n)
+    return bitonic_engine.split_u64(gidx)
+
+
+def _raise_on_overflow(flag):
+    if bool(flag):
+        raise RuntimeError(
+            "psort splitter-capacity overflow: a (src,dst) exchange segment "
+            "exceeded the static buffer capacity and elements would have "
+            "been dropped. Raise slack/oversample, or pass check=True to "
+            "receive the flag instead of this error.")
+
+
+def _consume_overflow(out, check):
+    """Overflow must never reach a caller as silently-truncated data
+    (ADVICE r1 medium / VERDICT r1 item 4). check=True returns the flag;
+    otherwise: eager calls sync the scalar and raise a clean RuntimeError;
+    under an outer trace (flag is a tracer) a debug callback traps at
+    runtime — the reference's THRS_ASSERT/__debugbreak philosophy
+    (hpp:14-15): a hard stop beats corrupted output.
+    """
+    out = list(out)
+    overflow = out.pop()
+    if check:
+        return tuple(out) + (overflow,)
+    if isinstance(overflow, jax.core.Tracer):
+        jax.debug.callback(_raise_on_overflow, overflow)
+    else:
+        _raise_on_overflow(overflow)
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "descending", "method", "oversample", "slack", "want", "check",
-    "zeros_exact"))
+    "zeros_exact", "_unsafe_cap", "_force_wide"))
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
-                 slack, want, check, zeros_exact=True):
+                 slack, want, check, zeros_exact=True, _unsafe_cap=None,
+                 _force_wide=False):
     P_ = mesh.shape[AXIS]
+    if oversample is None:
+        # auto: scale with P so the capacity floor B/P + 2B/oversample
+        # stays ~1.5B/P (== the slack default: buffers sized exactly at the
+        # analytic bound) at any mesh size, while the replicated sample
+        # stays small (4P^2 tuples); see docs/DESIGN.md §4a comms model
+        oversample = max(32, 4 * P_)
     if keys.ndim != 1:
         raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
     n = keys.shape[0]
-    if n >= (1 << 32):
-        raise ValueError("psort supports n < 2**32")
+    # n >= 2**32 (the BASELINE 16B-key regime) switches the stability/rank
+    # tie-break to a two-u32-word (u64) global index; the narrow single-word
+    # form is kept below because one fewer word rides every local sort and
+    # exchange. _force_wide exercises the wide path at test sizes.
+    wide_index = _force_wide or n >= (1 << 32)
     kdt = np.dtype(keys.dtype)
     if ((kdt == np.float64
          or (kdt.itemsize == 2 and keybits.dtype_kind(kdt) == "f"))
@@ -326,10 +418,15 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     dtype = np.dtype(keys.dtype)
     cmp_words = bitonic_engine.bits_to_cmp_words(bits, 0, dtype.itemsize * 8)
     cmp_words = [_pad_global(w, n_pad, SENTINEL) for w in cmp_words]
-    # global-index word: stability tie-break, splitter balance, and the
+    # global-index word(s): stability tie-break, splitter balance, and the
     # indices output all in one (pad indices sort to the global tail)
-    cmp_words.append(_pad_global(jnp.arange(n, dtype=jnp.uint32), n_pad,
-                                 SENTINEL))
+    if wide_index:
+        gi_hi, gi_lo = split_index64(n)
+        cmp_words.append(_pad_global(gi_hi, n_pad, SENTINEL))
+        cmp_words.append(_pad_global(gi_lo, n_pad, SENTINEL))
+    else:
+        cmp_words.append(_pad_global(jnp.arange(n, dtype=jnp.uint32), n_pad,
+                                     SENTINEL))
     ncmp = len(cmp_words)
 
     kkind = keybits.dtype_kind(dtype)
@@ -350,12 +447,27 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
             carry_words += [_pad_global(w, n_pad, jnp.uint32(0)) for w in ws]
             recipes.append(recipe)
 
-    cap = int(math.ceil(slack * B / P_)) + 8
+    # Static exchange capacity. The worst-case (src,dst) segment under
+    # stride pre-exchange + regular sampling is B/P plus the splitter drift
+    # (<= B/oversample per boundary, docs/DESIGN.md §4) on each side, so the
+    # analytic bound B/P + 2*ceil(B/oversample) is enforced as a floor —
+    # slack only ever *raises* capacity. This closes the silent-truncation
+    # window the advisor flagged at P > slack*oversample/4 (ADVICE round 1):
+    # overflow is now impossible at defaults, and if a capacity violation
+    # does occur (e.g. a caller-forced tiny cap) it raises at runtime
+    # instead of returning silently dropped elements (check=True instead
+    # returns the flag for the caller to handle).
+    bound = B // P_ + 2 * int(math.ceil(B / oversample))
+    cap = max(int(math.ceil(slack * B / P_)), bound) + 8
+    if _unsafe_cap is not None:
+        cap = int(_unsafe_cap)
+    cap = min(cap, B)
     cap3 = min(int(math.ceil(4.0 * B / oversample)) + 16, B)
 
     shard = functools.partial(
         _psort_shard, P_=P_, cap=cap, cap3=cap3,
-        method=_resolve_local_method(method), oversample=oversample)
+        method=_resolve_local_method(method), oversample=oversample,
+        n_idx=2 if wide_index else 1)
     spec_w = P(AXIS)
     fn = jax.shard_map(
         lambda c, k: shard(c, k),
@@ -394,15 +506,19 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
             rpos += 1
         result.append(leaves)
     if "indices" in want:
-        idx_dt = jnp.int32 if n < 2**31 else jnp.int64
-        result.append(cmp_out[-1][:n].astype(idx_dt))
-    if check:
-        result.append(overflow)
+        if wide_index:
+            result.append(bitonic_engine.join_u64(
+                cmp_out[-2][:n], cmp_out[-1][:n]).astype(jnp.int64))
+        else:
+            idx_dt = jnp.int32 if n < 2**31 else jnp.int64
+            result.append(cmp_out[-1][:n].astype(idx_dt))
+    result.append(overflow)  # wrappers consume (or return, check=True) it
     return tuple(result)
 
 
 def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
-               oversample=32, slack=2.0, check=False, zeros_exact=True):
+               oversample=None, slack=1.5, check=False, zeros_exact=True,
+               _unsafe_cap=None, _force_wide=False):
     """Globally sorted keys over the mesh axis; same global shape as input.
 
     The result is sharded contiguously over the mesh: chip p holds global
@@ -416,12 +532,14 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
     descending = SortOrder.parse(order).descending
     out = _psort_entry(keys, (), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
-                       want=("keys",), check=check, zeros_exact=zeros_exact)
+                       want=("keys",), check=check, zeros_exact=zeros_exact,
+                       _unsafe_cap=_unsafe_cap, _force_wide=_force_wide)
+    out = _consume_overflow(out, check)
     return out if check else out[0]
 
 
 def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
-                oversample=32, slack=2.0, check=False):
+                oversample=None, slack=1.5, check=False, _force_wide=False):
     """Distributed stable key-value sort; values may be a pytree."""
     mesh = mesh or make_sort_mesh()
     keys = jnp.asarray(keys)
@@ -430,18 +548,22 @@ def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
     descending = SortOrder.parse(order).descending
     out = _psort_entry(keys, tuple(leaves), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
-                       want=("keys", "values"), check=check)
+                       want=("keys", "values"), check=check,
+                       _force_wide=_force_wide)
+    out = _consume_overflow(out, check)
     k, v = out[0], jax.tree.unflatten(treedef, out[1])
     return (k, v, out[2]) if check else (k, v)
 
 
 def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
-                  oversample=32, slack=2.0, check=False):
+                  oversample=None, slack=1.5, check=False, _force_wide=False):
     """Distributed stable argsort (global permutation, sharded)."""
     mesh = mesh or make_sort_mesh()
     keys = jnp.asarray(keys)
     descending = SortOrder.parse(order).descending
     out = _psort_entry(keys, (), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
-                       want=("indices",), check=check)
+                       want=("indices",), check=check,
+                       _force_wide=_force_wide)
+    out = _consume_overflow(out, check)
     return out if check else out[0]

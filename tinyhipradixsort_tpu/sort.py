@@ -48,15 +48,21 @@ def segment_ids_from_offsets(offsets, n: int):
     ``offsets``: non-decreasing segment start offsets (any 1-D int array,
     with or without the leading 0 / trailing ``n``). Returns an int32 array
     of length ``n`` where element ``i`` holds the index of the segment
-    containing ``i`` (cf. cub::DeviceSegmentedRadixSort's
-    ``d_begin_offsets``).
+    containing ``i``, with empty *leading* segments collapsed to index 0
+    (the labeling is monotone and groups exactly like
+    cub::DeviceSegmentedRadixSort's ``d_begin_offsets``; only the grouping
+    matters to :func:`sort_keys`' ``segment_ids=``).
     """
     offsets = jnp.asarray(offsets)
     if offsets.ndim != 1:
         raise ValueError(f"offsets must be 1-D, got shape {offsets.shape}")
-    return jnp.searchsorted(
-        offsets, jnp.arange(n, dtype=offsets.dtype), side="right"
-    ).astype(jnp.int32)
+    ids = jnp.searchsorted(
+        offsets, jnp.arange(n, dtype=offsets.dtype), side="right")
+    # normalize away boundaries at/before position 0 (e.g. an explicit
+    # leading 0) so element 0 always gets id 0 — static-shape equivalent of
+    # stripping the leading zeros
+    ids = ids - jnp.searchsorted(offsets, offsets.dtype.type(0), side="right")
+    return ids.astype(jnp.int32)
 
 _ENGINES = ("auto", "pallas", "counting", "argsort", "lsd_argsort")
 
@@ -309,14 +315,18 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
 
 
 def sort_indices(keys, *, order="ascending", start_bit=0, end_bit=None,
-                 method="auto", segment_ids=None):
+                 method="auto", segment_ids=None, donate=False):
     """The stable sorting permutation: ``keys[perm]`` is sorted (stable argsort
     by transformed key bits). TPU-native extension with no reference analogue —
     equivalent to ``sort_pairs(keys, iota)[1]``. 2-D keys return the per-row
-    permutation (``jnp.take_along_axis(keys, perm, 1)`` is row-sorted)."""
+    permutation (``jnp.take_along_axis(keys, perm, 1)`` is row-sorted).
+    ``donate=True`` reuses the key buffer (see :func:`sort_keys`); the perm
+    dtype is i32 for n < 2**31 (the engine's index word is u32 — see the
+    n-limit table in docs/DESIGN.md §6)."""
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
-    (perm,) = _sort_entry(
+    entry = _sort_entry_donated if donate else _sort_entry
+    (perm,) = entry(
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("indices",),
         segment_ids=_prep_segments(segment_ids, keys),
