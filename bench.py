@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (first Mosaic compiles take minutes otherwise)
+import os
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("THRS_JAX_CACHE", "/root/.cache/thrs_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 sys.path.insert(0, ".")
 import tinyhipradixsort_tpu as thrs  # noqa: E402
 

@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: first Mosaic compiles of the big kernels take
+# minutes through the remote helper; cache them across bench runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("THRS_JAX_CACHE", "/root/.cache/thrs_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tinyhipradixsort_tpu as thrs  # noqa: E402
 from tinyhipradixsort_tpu.utils.profiling import time_fn  # noqa: E402
@@ -63,7 +69,11 @@ def main():
             (f"sort_keys u32 {label}", np.uint32, n, False),
             (f"sort_keys f32 {label}", np.float32, n, False),
             (f"sort_keys u64 {label}", np.uint64, n, False),
-            (f"sort_pairs u32+u32 {label}", np.uint32, n, True),
+            (f"sort_pairs u32+u32 {label}", np.uint32, n, np.uint32),
+            # the BASELINE headline pairs metric: KV64 (u64 keys + u64
+            # payload, BASELINE.json configs[3]; reference pairs bench
+            # unittest.cpp:574-685)
+            (f"sort_pairs u64+u64 {label}", np.uint64, n, np.uint64),
         ]
     # batched row-wise sort (no reference analogue; jnp axis-1 comparison)
     workloads.append(("sort_keys u32 batched 4096x4096", np.uint32,
@@ -77,7 +87,11 @@ def main():
         if batched:
             _, B, nr = n
             n = B * nr
-        if np.dtype(dtype).itemsize * n * (4 if pairs or dtype == np.uint64 else 3) > 12e9:
+        words = {4: 1, 8: 2}[np.dtype(dtype).itemsize] + 1 \
+            + (0 if not pairs else {4: 1, 8: 2}[np.dtype(pairs).itemsize])
+        live = 4 * n * words + np.dtype(dtype).itemsize * n * 2 \
+            + (np.dtype(pairs).itemsize * n * 2 if pairs else 0)
+        if live > 13e9:
             continue  # HBM guard
         # amortize the ~30 ms dispatch floor for small n by chaining the sort
         # inside one jit — valid timing because bitonic is data-oblivious
@@ -108,7 +122,7 @@ def main():
         repeat = lambda fn: repeat_fn(fn, loops)  # noqa: E731
 
         if pairs:
-            vals = jax.device_put(jnp.arange(n, dtype=jnp.uint32))
+            vals = jax.device_put(jnp.arange(n, dtype=pairs))
             ours = repeat(lambda k, v: thrs.sort_pairs(k, v, method=method))
             ref = repeat(lambda k, v: (jnp.sort(k), v[jnp.argsort(k, stable=True)]))
             t_ours, _ = time_fn(ours, keys, vals, reps=args.reps)

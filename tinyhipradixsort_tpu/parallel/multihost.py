@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import jax
 
-from .psort import make_sort_mesh
+# NOTE: no eager `.psort` import here — psort builds module-level device
+# constants, which initializes the XLA backend, and
+# ``jax.distributed.initialize`` refuses to run once the backend exists.
+# This module must stay importable before process-group bootstrap
+# (tests/test_multihost.py exercises the real two-process flow).
 
 
 def initialize(coordinator_address: str | None = None,
@@ -27,8 +31,9 @@ def initialize(coordinator_address: str | None = None,
     """``jax.distributed.initialize`` with env-driven defaults.
 
     On Cloud TPU (GCE/GKE) all arguments are discovered automatically; pass
-    them explicitly for manual clusters. Safe to call once per process,
-    before any other JAX call.
+    them explicitly for manual clusters. Must be called once per process,
+    before any other JAX call (including importing modules that build
+    device constants, e.g. :mod:`.psort`).
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -39,9 +44,11 @@ def initialize(coordinator_address: str | None = None,
 
 def global_sort_mesh():
     """1-D mesh over every chip in the job (all hosts)."""
+    from .psort import make_sort_mesh
     return make_sort_mesh(jax.devices())
 
 
 def local_sort_mesh():
     """1-D mesh over this host's chips only (single-host runs/tests)."""
+    from .psort import make_sort_mesh
     return make_sort_mesh(jax.local_devices())

@@ -20,16 +20,17 @@ static shapes throughout:
    index — equal-key masses spread evenly over destination chips.
 3. **Partition**: local cuts = vectorized binary search of splitter tuples
    in the sorted shard.
-4. **Exchange**: one ``all_to_all`` of static ``(P, cap)`` sentinel-padded
-   buffers per word, cap = max(slack*B/P, B/P + 2*ceil(B/oversample)) + 8
-   (the second term is the analytic worst-case segment under regular
-   sampling — overflow is impossible at defaults for value-spread inputs;
-   cf. PAPERS.md "Histogram Sort with Sampling"); segment lengths ride
-   along; any capacity violation raises (or returns the ``check=True``
-   flag) — never silent truncation. Entry pads (all-sentinel tuples) are
-   never exchanged: cuts clip at the real-element count.
-5. **Merge**: the received per-source segments are already sorted — a
-   log2(P)-round bitonic merge tree replaces a full re-sort.
+4. **Exchange + merge, overlapped**: P-1 ``ppermute`` ring rounds of one
+   static ``(cap,)`` sentinel-padded buffer per word, cap = max(slack*B/P,
+   B/P + 2*ceil(B/oversample)) + 8 (the second term is the analytic
+   worst-case segment under regular sampling — overflow is impossible at
+   defaults for value-spread inputs; cf. PAPERS.md "Histogram Sort with
+   Sampling"); received sorted runs fold into a binary-counter bitonic
+   merge tree *between* rounds, which XLA's TPU scheduler overlaps with
+   the in-flight collective-permutes (``_ring_exchange_merge``). Any
+   capacity violation raises (or returns the ``check=True`` flag) — never
+   silent truncation. Entry pads (all-sentinel tuples) are never
+   exchanged: cuts clip at the real-element count.
 6. **Boundary rebalance**: exact output ranks from an all_gather of counts;
    each chip keeps the bulk of its run locally (a static-size dynamic
    slice) and ships only the boundary pieces — bounded by the cumulative
@@ -55,7 +56,10 @@ from ..config import SortOrder
 from ..ops import bitonic_engine
 
 AXIS = "shards"
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# host-side scalar (NOT jnp): a module-level device constant would
+# initialize the XLA backend at import, breaking jax.distributed.initialize
+# (which must run before backend init; see parallel/multihost.py)
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def make_sort_mesh(devices=None) -> Mesh:
@@ -148,45 +152,80 @@ def _searchsorted_words(sorted_words, query_words):
     return lo
 
 
-def _pad_rows(w, cuts, lens, cap, fill):
-    """(P, cap) buffer: row q = w[cuts[q] : cuts[q]+lens[q]] sentinel-padded.
-    w must carry >= cap trailing slack elements (so slices stay in bounds)."""
-
-    def row(q):
-        chunk = jax.lax.dynamic_slice(w, (cuts[q],), (cap,))
-        keep = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) < lens[q]
-        return jnp.where(keep, chunk, fill)
-
-    return jax.vmap(row)(jnp.arange(cuts.shape[0] - 1, dtype=jnp.int32))
-
-
 def _a2a(x):
     return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
-
-
-def _exchange(words, ncmp, cuts, lens, cap):
-    """all_to_all one padded (P, cap) buffer per word; returns flattened
-    words (P*cap,) and the received per-source lengths (P,)."""
-    P_ = lens.shape[0]
-    recv = []
-    for i, w in enumerate(words):
-        fill = SENTINEL if i < ncmp else jnp.uint32(0)
-        slack = jnp.full((cap,), fill, jnp.uint32)
-        send = _pad_rows(jnp.concatenate([w, slack]), cuts, lens, cap, fill)
-        recv.append(_a2a(send).reshape(-1))
-    recv_lens = _a2a(lens.reshape(P_, 1)).reshape(-1)
-    # truncated overflow rows may carry stale values past their sent length:
-    # re-mask so stray data cannot corrupt the merge
-    valid = (jax.lax.broadcasted_iota(jnp.int32, (P_, cap), 1)
-             < recv_lens[:, None]).reshape(-1)
-    recv = [jnp.where(valid, w, SENTINEL if i < ncmp else jnp.uint32(0))
-            for i, w in enumerate(recv)]
-    return recv, recv_lens
 
 
 # ---------------------------------------------------------------------------
 # the shard-local pipeline
 # ---------------------------------------------------------------------------
+
+
+def _merge_two_runs(a_words, b_words, ncmp, method):
+    """Merge two sorted sentinel-padded runs (word lists) into one."""
+    if method == "pallas":
+        return bitonic_engine._merge_sorted_runs(
+            list(a_words), [jnp.flip(w) for w in b_words], ncmp,
+            bitonic_engine.common.interpret_default())
+    merged = [jnp.concatenate([aw, bw]) for aw, bw in zip(a_words, b_words)]
+    cw, kw = _local_sort_words(merged[:ncmp], merged[ncmp:], method)
+    return list(cw) + list(kw)
+
+
+def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method):
+    """Main exchange as P-1 ``ppermute`` rounds with an overlapped merge.
+
+    Equivalent in bytes and result to the all_to_all + merge-tree pair, but
+    round r's collective-permute has no data dependency on the merges of
+    rounds < r, so XLA's TPU latency-hiding scheduler runs the
+    collective-permute-start/done of the next round concurrently with the
+    merge kernels of the previous ones — the exchange/compute overlap of
+    SNIPPETS [2][3], expressed at the XLA level instead of hand-rolled
+    Pallas RDMA (ROADMAP 6 / VERDICT r1 item 5). Received runs fold into a
+    binary-counter merge tree (amortized one merge per round, total work
+    identical to the post-hoc tree). Graph size is O(P) — fine for the
+    pod-scale meshes psort targets (P <= a few hundred).
+
+    words: full sorted local words (cmp+carry); cuts/lens: (P+1,)/(P,)
+    partition of the real prefix. Returns (merged words, real count).
+    """
+    fills = [SENTINEL if i < ncmp else jnp.uint32(0)
+             for i in range(len(words))]
+    # pad once (not per round): extract's dynamic slices stay in bounds
+    padded = [jnp.concatenate([w, jnp.full((cap,), f, jnp.uint32)])
+              for w, f in zip(words, fills)]
+
+    def extract(q, ln):
+        keep = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) < ln
+        return [jnp.where(keep,
+                          jax.lax.dynamic_slice(w, (cuts[q],), (cap,)), f)
+                for w, f in zip(padded, fills)]
+
+    levels: dict = {}
+
+    def push(run):
+        k = 0
+        while k in levels:
+            run = _merge_two_runs(levels.pop(k), run, ncmp, method)
+            k += 1
+        levels[k] = run
+
+    count = jnp.minimum(cuts[me + 1] - cuts[me], cap)
+    push(extract(me, count))
+    for r in range(1, P_):
+        perm = [(s, (s + r) % P_) for s in range(P_)]
+        q = (me + jnp.int32(r)) % P_
+        ln = lens[q]
+        sent = extract(q, ln)
+        ln_r = jax.lax.ppermute(ln.reshape(1), AXIS, perm)[0]
+        run = [jax.lax.ppermute(w, AXIS, perm) for w in sent]
+        count = count + ln_r
+        push(run)
+    runs = [levels[k] for k in sorted(levels)]
+    acc = runs[0]
+    for run in runs[1:]:
+        acc = _merge_two_runs(run, acc, ncmp, method)
+    return acc, count
 
 
 def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
@@ -237,15 +276,13 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
     seg = cuts[1:] - cuts[:-1]
     overflow = jnp.any(seg > cap)
 
-    # 4. main exchange
-    recv, recv_lens = _exchange(list(cmp_words) + list(carry_words), ncmp,
-                                cuts, jnp.minimum(seg, cap), cap)
-
-    # 5. merge: the received segments are already sorted — a log2(P)-round
-    # bitonic merge tree replaces the full re-sort (docs/DESIGN.md §4)
-    cmp_words, carry_words = _merge_runs_tree(recv[:ncmp], recv[ncmp:],
-                                              P_, cap, method)
-    count = jnp.sum(recv_lens).astype(jnp.int32)
+    # 4+5. main exchange and merge, fused as a ring with overlapped merges
+    # (see _ring_exchange_merge)
+    merged, count = _ring_exchange_merge(
+        list(cmp_words) + list(carry_words), ncmp, cuts,
+        jnp.minimum(seg, cap), cap, P_, me, method)
+    cmp_words, carry_words = merged[:ncmp], merged[ncmp:]
+    count = count.astype(jnp.int32)
 
     # 6. boundary rebalance to exactly B per chip. Global ranks (tgt,
     # start_me) reach n_pad = P*B and overflow int32 once n >= 2**31 —
