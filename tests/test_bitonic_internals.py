@@ -23,14 +23,15 @@ def test_word_contract_checker():
                                        carry))
 
 
-@pytest.mark.parametrize("L,tile,chunk,rot", [
-    (10, 18, 13, 0), (13, 18, 13, 10), (20, 18, 13, 10), (26, 18, 13, 10),
-    (15, 14, 11, 10),
+@pytest.mark.parametrize("L,tile,chunk,rot,gx", [
+    (10, 18, 13, 0, None), (13, 18, 13, 10, None), (20, 18, 13, 10, None),
+    (26, 18, 13, 10, None), (15, 14, 11, 10, None),
+    (28, 18, 13, 10, 8), (26, 18, 13, 10, 8), (20, 10, 9, 0, 8),
 ])
-def test_plan_covers_relabeled_network(L, tile, chunk, rot):
+def test_plan_covers_relabeled_network(L, tile, chunk, rot, gx):
     T = min(tile, L)
     sig = lambda x: (x + rot) % T if x < T else x
-    sweeps = be.plan_sweeps(L, tile, chunk, rot)
+    sweeps = be.plan_sweeps(L, tile, chunk, rot, g_max_cross=gx)
     subs = [s for sw in sweeps for s in sw.substages]
     expect = [(sig(k), sig(j))
               for k in range(1, L + 1) for j in range(k - 1, -1, -1)]
@@ -38,9 +39,33 @@ def test_plan_covers_relabeled_network(L, tile, chunk, rot):
     for sw in sweeps:
         A, B = sw.grid()
         assert A * B * sw.tile_elems == 1 << L
+        assert sw.tile_elems <= 1 << tile
         for k, j in sw.substages:
             assert sw.has_bit(j)
             sw.dir_spec(k)  # must not raise
+
+
+def test_wide_cross_sweep_executes():
+    """Execute a g > 5 cross sweep (interpret mode) against a numpy
+    compare-exchange oracle — the CROSS_G_MAX window shape that only
+    appears on-device at L > tile_bits + 5."""
+    L, c, g, j_lo = 20, 12, 6, 13
+    subs = tuple([(L, j) for j in range(j_lo + g - 1, j_lo - 1, -1)]
+                 + [(14, 13)])  # k from 'a'-grid bits and from a tile bit
+    sw = be.Sweep(c=c, g=g, j_lo=j_lo, L=L, substages=subs)
+    n = 1 << L
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    out = be.run_sweep([jnp.asarray(x)], sw, 1, interpret=True)[0]
+    ref = x.copy()
+    i = np.arange(n)
+    for k, j in subs:
+        pv = ref[i ^ (1 << j)]
+        hbit = (i >> j) & 1
+        desc = (i >> k) & 1
+        keep_min = (1 - hbit) ^ desc
+        swap = (pv < ref) == (keep_min == 1)
+        ref = np.where(swap, pv, ref)
+    np.testing.assert_array_equal(np.asarray(out), ref)
 
 
 def test_split_sweep_preserves_order():

@@ -112,12 +112,18 @@ class Sweep:
 
 def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
                 rot: int = 0, stages=None,
-                forced_asc: int | None = None) -> list[Sweep]:
+                forced_asc: int | None = None,
+                g_max_cross: int | None = None) -> list[Sweep]:
     """Greedy sweep plan for the full bitonic network on 2**L elements.
 
     tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
     low-bit chunk used by cross-stage (hyperblock) sweeps — also the DMA
     granularity (2**chunk_bits * 4B contiguous per DMA).
+
+    g_max_cross: max high-group bits per cross sweep (default
+    tile_bits - chunk_bits). Raising it fuses more cross-block substages
+    per HBM round trip at the cost of a smaller contiguous chunk
+    (c = tile_bits - g, i.e. shorter DMA bursts) on the widest sweeps.
 
     rot: storage bit rotation. The network is conjugated by the index bit
     permutation sigma(x) = (x + rot) mod T for x < T = min(tile_bits, L)
@@ -131,6 +137,9 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
     tile_bits = min(tile_bits, L)
     chunk_bits = min(chunk_bits, tile_bits)
     g_max = tile_bits - chunk_bits
+    if g_max_cross is not None:
+        # the low chunk must keep >= one (8,128) row: c >= LANE_BITS
+        g_max = max(g_max, min(g_max_cross, tile_bits - LANE_BITS))
     T = tile_bits
 
     def sigma(x: int) -> int:
@@ -462,6 +471,12 @@ _PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
 # ~3 ms at 2**28 — compile feasibility buys it)
 MAX_SUBSTAGES_PER_KERNEL = 96
 
+# Cross (hyperblock) sweeps may fuse up to this many high bits per HBM
+# round trip; the contiguous DMA chunk shrinks to 2**(tile_bits - g) * 4B
+# on the widest sweeps (2**10*4B = 4 KB at g=8 — still burst-efficient).
+# At L=28 this cuts the merge phase from 15 cross sweeps (g<=5) to 12.
+CROSS_G_MAX = 8
+
 
 def _split_sweep(sweep: Sweep, max_substages: int):
     subs = sweep.substages
@@ -555,7 +570,7 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
     rot = 10 if T > 10 else 0
     parts = [part
              for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages,
-                                      forced_asc)
+                                      forced_asc, g_max_cross=CROSS_G_MAX)
              for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL)]
     if rot:
         # fuse the storage rotation into the boundary kernels when they are
