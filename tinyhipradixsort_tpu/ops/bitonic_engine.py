@@ -41,6 +41,7 @@ VPU compare-select work (~2000 ops/elem) the actual bound.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, replace as _dc_replace
 
 import jax
@@ -221,52 +222,68 @@ def _lex_lt(xs, ps, ncmp: int):
     return lt
 
 
-def _desc_mask_half(half_shape, rows: int, m: int, kf: int):
-    """Descending-direction mask of tile bit kf on the half-split view.
+def _stage_groups(substages):
+    """Group consecutive substages by (stored) stage k.
 
-    half_shape = (rows // (2*m), m, 128); original row = q*2m + h*m + r.
-    kf != fb (the CE bit), so it maps to a lane bit, an r bit, or a q bit.
+    Substages arrive in network order — all of stage k's in-tile substages
+    are consecutive — so one linear pass suffices.
     """
-    if kf < LANE_BITS:
-        return _bit_vec(half_shape, 2, kf)
-    rb = kf - LANE_BITS  # bit of the original row index
-    mb = m.bit_length() - 1  # log2(m)
-    assert rb != mb, "direction bit cannot equal the CE bit"
-    if rb < mb:
-        return _bit_vec(half_shape, 1, rb)
-    return _bit_vec(half_shape, 0, rb - mb - 1)
+    groups: list[tuple[int, list[int]]] = []
+    for k, j in substages:
+        if groups and groups[-1][0] == k:
+            groups[-1][1].append(j)
+        else:
+            groups.append((k, [j]))
+    return groups
 
 
 def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
     rows = sweep.tile_elems >> LANE_BITS
     shape = (rows, 128)
 
-    def substage_roll(xs, fb, desc):
+    def substage_roll(xs, fb):
         """Lane-bit CE: partner via rolls (cross-lane movement)."""
+        from jax.experimental.pallas import tpu as pltpu
+
         hbit = _flat_bit_vec(shape, fb)
+        if nwords == 1:
+            # keys-only single word: min/max IS the compare-exchange (ties
+            # commute), replacing partner-select + compare + swap-select
+            x = xs[0]
+            if fb < LANE_BITS:
+                d, axis = 1 << fb, 1
+            else:
+                d, axis = 1 << (fb - LANE_BITS), 0
+            a = pltpu.roll(x, jnp.int32(x.shape[axis] - d), axis)  # x[pos+d]
+            mn, mx = jnp.minimum(x, a), jnp.maximum(x, a)
+            return [jnp.where(hbit == 1,
+                              pltpu.roll(mx, jnp.int32(d), axis), mn)]
         ps = [_partner(x, fb, hbit == 1) for x in xs]
-        km = ((1 - hbit) ^ desc) == 1
-        # swap iff (partner < self) == keep_min. A single compare chain
-        # suffices because tie-swaps are harmless under the sort_words word
-        # contract (ties imply bit-identical word tuples): with a stability
-        # index in cmp, tuples are distinct; without one there are no carry
-        # words, so swapping equal cmp tuples is a no-op.
-        swap = km == _lex_lt(xs, ps, ncmp)
+        # swap iff (partner < self) == keep_min, keep_min = lo position.
+        # A single compare chain suffices because tie-swaps are harmless
+        # under the sort_words word contract (ties imply bit-identical word
+        # tuples): with a stability index in cmp, tuples are distinct;
+        # without one there are no carry words, so swapping equal cmp
+        # tuples is a no-op.
+        swap = (hbit == 0) == _lex_lt(xs, ps, ncmp)
         return [jnp.where(swap, p, x) for x, p in zip(xs, ps)]
 
-    def substage_pair(xs, fb, desc_half):
+    def substage_pair(xs, fb):
         """Sublane-bit CE on the half-split view: all compare/select work
         runs on half-sized arrays (the dominant substage class, ~2x cheaper
         than the roll form)."""
         m = 1 << (fb - LANE_BITS)
-        half = (rows // (2 * m), m, 128)
+        if nwords == 1:
+            # single-word min/max form: a full CE in two vector ops
+            x = xs[0].reshape(rows // (2 * m), 2, m, 128)
+            mn = jnp.minimum(x[:, 0], x[:, 1])
+            mx = jnp.maximum(x[:, 0], x[:, 1])
+            return [jnp.stack([mn, mx], axis=1).reshape(shape)]
         los = [x.reshape(rows // (2 * m), 2, m, 128)[:, 0] for x in xs]
         his = [x.reshape(rows // (2 * m), 2, m, 128)[:, 1] for x in xs]
-        # ascending keeps (lo, hi) iff lo < hi, descending iff not — ties may
-        # go either way (harmless under the sort_words word contract), which
-        # is what lets one compare chain suffice. _lex_lt(a, b) is b < a.
-        s = _lex_lt(his, los, ncmp) != desc_half
-        # s True -> keep (lo, hi) as-is; False -> swap
+        # keep (lo, hi) iff lo < hi — ties may go either way (harmless
+        # under the word contract). _lex_lt(a, b) is b < a.
+        s = _lex_lt(his, los, ncmp)
         out = []
         for lo, hi in zip(los, his):
             nlo = jnp.where(s, lo, hi)
@@ -292,33 +309,45 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
             xs = [tile_rot(x, -sweep.rot_in) for x in xs]
         a = pl.program_id(0)
         b = pl.program_id(1)
-        # note: masks are deliberately recomputed per substage — caching them
-        # across the ~170 substages of a local sweep extends live ranges and
-        # costs ~20% (measured on v5e) in spills
-        for k, j in sweep.substages:
-            fb = sweep.tile_bit(j)
-            forced = k == sweep.forced_asc
-            kind, bit = (None, None) if forced else sweep.dir_spec(k)
-            # pair-split only when halves are (8,128)-tile aligned (m >= 8):
-            # sub-tile strided slicing costs more than it saves (measured)
-            if fb >= LANE_BITS + 3:
-                m = 1 << (fb - LANE_BITS)
-                half = (rows // (2 * m), m, 128)
-                if forced:
-                    desc_half = False
-                elif kind == "tile":
-                    desc_half = _desc_mask_half(half, rows, m, bit) == 1
+
+        def stage_cmask(k):
+            """Complement mask (0 / 0xFFFFFFFF per element) of stage k's
+            direction bit, or None for ascending-forced stages."""
+            if k == sweep.forced_asc:
+                return None
+            kind, bit = sweep.dir_spec(k)
+            if kind == "tile":
+                bv = _flat_bit_vec(shape, bit)  # int32 0/1
+                return jnp.uint32(0) - bv.astype(jnp.uint32)
+            d = ((a if kind == "a" else b) >> bit) & 1  # scalar
+            return jnp.where(d == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+
+        # Per-stage direction complement: descending blocks complement
+        # their cmp words (unsigned-complement order == reversed order),
+        # every substage then runs forced-ascending, and the complement is
+        # undone at the stage boundary. Sound because substages of stage k
+        # only move elements within 2**k blocks (j < k), so position bit k
+        # — and with it each element's complement state — is invariant
+        # across the stage. This removes ALL per-substage direction work:
+        # 2*ncmp xors per stage replace a mask compute + extra select per
+        # substage, and the keys-only CE collapses to pure min/max.
+        # (Masks that ARE recomputed — hbit, cmask — stay cheap; caching
+        # them across substages measured ~20% worse via VMEM spills.)
+        for k, js in _stage_groups(sweep.substages):
+            cm = stage_cmask(k)
+            if cm is not None:
+                xs = [x ^ cm if w < ncmp else x for w, x in enumerate(xs)]
+            for j in js:
+                fb = sweep.tile_bit(j)
+                # pair-split only when halves are (8,128)-tile aligned
+                # (m >= 8): sub-tile strided slicing costs more than it
+                # saves (measured)
+                if fb >= LANE_BITS + 3:
+                    xs = substage_pair(xs, fb)
                 else:
-                    desc_half = (((a if kind == "a" else b) >> bit) & 1) == 1
-                xs = substage_pair(xs, fb, desc_half)
-            else:
-                if forced:
-                    desc = 0
-                elif kind == "tile":
-                    desc = _flat_bit_vec(shape, bit)
-                else:
-                    desc = ((a if kind == "a" else b) >> bit) & 1  # scalar
-                xs = substage_roll(xs, fb, desc)
+                    xs = substage_roll(xs, fb)
+            if cm is not None:
+                xs = [x ^ cm if w < ncmp else x for w, x in enumerate(xs)]
         if sweep.rot_out:
             xs = [tile_rot(x, sweep.rot_out) for x in xs]
         g_dim = 1 << sweep.g
@@ -475,7 +504,9 @@ MAX_SUBSTAGES_PER_KERNEL = 96
 # round trip; the contiguous DMA chunk shrinks to 2**(tile_bits - g) * 4B
 # on the widest sweeps (2**10*4B = 4 KB at g=8 — still burst-efficient).
 # At L=28 this cuts the merge phase from 15 cross sweeps (g<=5) to 12.
-CROSS_G_MAX = 8
+# THRS_CROSS_G_MAX overrides for A/B runs (process-wide; the jit cache
+# does not key on it, so set it only at process start).
+CROSS_G_MAX = int(os.environ.get("THRS_CROSS_G_MAX", "8"))
 
 
 def _split_sweep(sweep: Sweep, max_substages: int):
