@@ -102,6 +102,28 @@ def test_window_pallas(start, end):
     np.testing.assert_array_equal(np.asarray(v), vals[order])
 
 
+@pytest.mark.parametrize("n,start,end", [
+    # ww + ib == 32 exactly, non-pow2 n: single-word packing applies; the
+    # all-ones window value must stay strictly below the pad sentinel
+    # (idx < 2**ib - 1 because n is not a power of two)
+    (768, 8, 30),
+    # pow2 n with ww + ib == 32: packing must NOT apply (a saturated window
+    # + max index would tie the MIN_L pad sentinel); falls back to 2 words
+    (512, 0, 23),
+])
+def test_packed_window_sentinel_edge(n, start, end):
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    x[::3] = 0xFFFFFFFF  # saturate the window for many elements
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = thrs.sort_pairs(jnp.asarray(x), jnp.asarray(vals),
+                           start_bit=start, end_bit=end, method="pallas")
+    digit = (x >> start) & ((1 << (end - start)) - 1)
+    order = np.argsort(digit, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), x[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
 def test_extreme_case_pallas():
     # all-zero with two sentinels (reference: unittest.cpp:191-225)
     n = 4096

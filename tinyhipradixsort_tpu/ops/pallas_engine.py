@@ -95,6 +95,7 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     need_vals = "values" in want
     need_idx_out = "indices" in want
     stable_needed = need_vals or need_idx_out or need_keys_carry or tag_zero
+    pack_bits = 0
     if n > 1:
         if stable_needed:
             if n >= (1 << 32):
@@ -106,6 +107,20 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
             if tag_zero:
                 idx = (idx << jnp.uint32(1)) | _neg_zero_flag(keys).reshape(-1)
             cmp_words = cmp_words + [idx]
+            # Single-word packing: when the window's significant bits and
+            # the stability index fit one u32, sort (window << ib) | idx as
+            # ONE compare word — window sorts (the reference's per-digit
+            # usage, unittest.cpp:248-355) then run a one-word-shorter
+            # network; keys-only window sorts hit the min/max CE path.
+            # Guard: with a pow2 n the max real index is all-ones, so an
+            # exactly-32-bit packing could tie the all-ones pad sentinel
+            # (MIN_L padding) — require a spare bit in that case.
+            ww = end_bit - start_bit
+            ib = bitonic_engine._ceil_log2(n) + (1 if tag_zero else 0)
+            if (nseg == 0 and nk == 1 and ww < 32
+                    and ww + ib + (0 if n & (n - 1) else 1) <= 32):
+                cmp_words = [(cmp_words[0] << jnp.uint32(ib)) | cmp_words[1]]
+                pack_bits = ib
 
         carry_words, recipes = [], []
         if need_keys_carry:
@@ -136,8 +151,10 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if n <= 1:
             result.append(keys)
         elif keys_from_bits:
-            sorted_bits = _join_cmp(cmp_out[nseg:nseg + nk], dtype,
-                                    start_bit, end_bit, bits.dtype)
+            kw = cmp_out[nseg:nseg + nk]
+            if pack_bits:
+                kw = [kw[0] >> jnp.uint32(pack_bits)]
+            sorted_bits = _join_cmp(kw, dtype, start_bit, end_bit, bits.dtype)
             raw = keybits.key_bits_inverse_raw(
                 sorted_bits, dtype, descending=descending)
             if tag_zero:
@@ -177,6 +194,8 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
             result.append(iota if batched else iota.reshape(-1))
         else:
             idx_word = cmp_out[-1]
+            if pack_bits:
+                idx_word = idx_word & jnp.uint32((1 << pack_bits) - 1)
             if tag_zero:
                 idx_word = idx_word >> jnp.uint32(1)
             result.append(reshape_out(idx_word.astype(idx_dt)))
