@@ -498,7 +498,7 @@ _PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
 # kernel with the pair-split CE form; oversized sweeps are split into
 # consecutive chunks over the same tile (one extra HBM round trip each,
 # ~3 ms at 2**28 — compile feasibility buys it)
-MAX_SUBSTAGES_PER_KERNEL = 96
+MAX_SUBSTAGES_PER_KERNEL = int(os.environ.get("THRS_MAX_SUBSTAGES", "96"))
 
 # Cross (hyperblock) sweeps may fuse up to this many high bits per HBM
 # round trip; the contiguous DMA chunk shrinks to 2**(tile_bits - g) * 4B
@@ -527,7 +527,8 @@ def _tile_bits_for(nwords: int, L: int) -> int:
     # cap at 2**18: the local-sort kernel's substage count grows with tile
     # size and Mosaic compile time grows superlinearly (2**19 exceeded 15 min
     # on v5e vs ~4 min for 2**18; runtime gain would have been <10%)
-    return max(MIN_L, min(18, int(math.floor(math.log2(budget_elems))), L))
+    cap = int(os.environ.get("THRS_TILE_BITS_CAP", "18"))
+    return max(MIN_L, min(cap, int(math.floor(math.log2(budget_elems))), L))
 
 
 def check_word_contract(cmp_words: list, carry_words: list):
