@@ -33,9 +33,13 @@ so the whole group runs in VMEM between one HBM read and one HBM write.
 Direction bits ``k`` outside the tile are uniform per grid step (derived from
 ``program_id``); in-tile bits become iota masks.
 
-For 2**28 u32 keys this plan is ~27 HBM sweeps (vs ~400 for a naive
-stage-per-launch bitonic), i.e. ~60 GB of traffic — HBM-feasible — with the
-VPU compare-select work (~2000 ops/elem) the actual bound.
+For 2**28 u32 keys this plan is ~24 HBM sweeps (vs ~400 for a naive
+stage-per-launch bitonic), i.e. ~50 GB of traffic. Direction handling is
+hoisted out of the substages entirely: descending blocks complement their
+cmp words at stage entry/exit (position bit k is invariant within stage k,
+so the complement state rides safely), letting every compare-exchange run
+forced-ascending — pure min/max for 1-word sorts (see
+``make_sweep_kernel``).
 """
 
 from __future__ import annotations
