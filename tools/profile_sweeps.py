@@ -46,7 +46,8 @@ def main():
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
     T = min(tile_bits, L)
     rot = 10 if T > 10 else 0
-    parts = [p for s in be.plan_sweeps(L, tile_bits, chunk_bits, rot)
+    parts = [p for s in be.plan_sweeps(L, tile_bits, chunk_bits, rot,
+                                       g_max_cross=be.CROSS_G_MAX)
              for p in be._split_sweep(s, be.MAX_SUBSTAGES_PER_KERNEL)]
 
     rng = np.random.default_rng(0)
