@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 28)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--quick", action="store_true", help="16M keys, 3 reps")
+    ap.add_argument("--verify", choices=("full", "spot", "none"),
+                    default="full",
+                    help="full: whole output vs the native C++ oracle "
+                         "(falls back to spot if the oracle .so cannot "
+                         "build); spot: device-side sortedness + histogram "
+                         "check (no 1 GB fetch); none: timing only")
     args = ap.parse_args()
     n = (1 << 24) if args.quick else args.n
     reps = 3 if args.quick else args.reps
@@ -75,14 +81,37 @@ def main():
     # oracle (the reference verifies the whole array every soak iteration,
     # main.cpp:174-202; the OpenMP oracle exists precisely to do this at
     # memory speed on multi-GB arrays). Fetch cost over the axon tunnel is
-    # ~25 s for 1 GB — untimed.
-    from tinyhipradixsort_tpu.utils import native_oracle
+    # ~25 s for 1 GB — untimed. Degrades to the device-side spot check when
+    # the on-demand C++ build is unavailable (ADVICE r2) or --verify=spot.
+    verify = args.verify
+    if verify == "full":
+        from tinyhipradixsort_tpu.utils import native_oracle
 
-    out = np.asarray(sort(x))
-    # u32 ascending: key_bits is the identity, so the oracle is a plain
-    # stable radix sort of the raw keys (no permutation needed keys-only)
-    want = native_oracle.native_sort_bits(np.asarray(x))
-    assert np.array_equal(out, want), "bench output != oracle sort"
+        if not native_oracle.available():
+            print("bench: native oracle unavailable, falling back to "
+                  "--verify=spot", file=sys.stderr)
+            verify = "spot"
+    if verify == "full":
+        out = np.asarray(sort(x))
+        # u32 ascending: key_bits is the identity, so the oracle is a plain
+        # stable radix sort of the raw keys (no permutation needed keys-only)
+        want = native_oracle.native_sort_bits(np.asarray(x))
+        assert np.array_equal(out, want), "bench output != oracle sort"
+    elif verify == "spot":
+        # device-side: nondecreasing + first/last 64 kB exact vs np.sort of
+        # the matching value-range slice is not possible without a fetch;
+        # check sortedness and an XOR/sum permutation invariant instead
+        out_d = sort(x)
+
+        def _xor(a):
+            return jax.lax.reduce(a, np.uint32(0), jax.lax.bitwise_xor, (0,))
+
+        chk = jax.jit(lambda a, b: (
+            jnp.all(a[1:] >= a[:-1]),
+            _xor(a) == _xor(b),
+            jnp.sum(a, dtype=jnp.uint64) == jnp.sum(b, dtype=jnp.uint64)))
+        srt, x_ok, s_ok = (bool(v) for v in chk(out_d, x))
+        assert srt and x_ok and s_ok, "bench spot verification failed"
 
     device_s = max(total - floor, 1e-9)
     keys_per_s = n / device_s

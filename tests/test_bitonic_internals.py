@@ -68,6 +68,41 @@ def test_wide_cross_sweep_executes():
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_cross_g_max_lowering_takes_effect():
+    """The override REPLACES the default width, so lowering it for an A/B
+    run actually narrows cross sweeps (ADVICE r2: the old max() clamp made
+    values below tile_bits - chunk_bits silently do nothing)."""
+    wide = be.plan_sweeps(24, 18, 13, 0, g_max_cross=8)
+    narrow = be.plan_sweeps(24, 18, 13, 0, g_max_cross=2)
+    gmax = lambda sweeps: max(s.g for s in sweeps if s.c + s.g < 18)
+    assert gmax(wide) > gmax(narrow) == 2
+    # both still cover the full network
+    for sweeps in (wide, narrow):
+        subs = [s for sw in sweeps for s in sw.substages]
+        assert subs == [(k, j) for k in range(1, 25)
+                        for j in range(k - 1, -1, -1)]
+
+
+def test_engine_tuning_env_roundtrip(monkeypatch):
+    """EngineTuning.from_env() reads the knobs at call time and is hashable
+    (it keys the jit caches: changing an env var mid-process takes effect
+    on the next public-API call instead of silently reusing a stale plan)."""
+    base = be.EngineTuning.from_env()
+    monkeypatch.setenv("THRS_CROSS_G_MAX", "3")
+    monkeypatch.setenv("THRS_MAX_SUBSTAGES", "40")
+    monkeypatch.setenv("THRS_TILE_BITS_CAP", "14")
+    tuned = be.EngineTuning.from_env()
+    assert tuned == be.EngineTuning(max_substages=40, cross_g_max=3,
+                                    tile_bits_cap=14)
+    assert hash(tuned) != hash(base) or tuned == base
+    # the tuned plan really is different AND still sorts correctly
+    x = RNG.integers(0, 2**32, size=4096, dtype=np.uint32)
+    cw, _ = be.sort_words([jnp.asarray(x)], [], interpret=True, tuning=tuned)
+    np.testing.assert_array_equal(np.asarray(cw[0]), np.sort(x))
+    assert be._tile_bits_for(1, 20, tuned) == 14
+    assert be._tile_bits_for(1, 20, base) == base.tile_bits_cap
+
+
 def test_split_sweep_preserves_order():
     sw = be.plan_sweeps(20, 18, 13, 10)[0]
     parts = be._split_sweep(sw, 40)

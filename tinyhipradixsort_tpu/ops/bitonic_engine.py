@@ -143,8 +143,10 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
     chunk_bits = min(chunk_bits, tile_bits)
     g_max = tile_bits - chunk_bits
     if g_max_cross is not None:
-        # the low chunk must keep >= one (8,128) row: c >= LANE_BITS
-        g_max = max(g_max, min(g_max_cross, tile_bits - LANE_BITS))
+        # override replaces the default (so lowering it for an A/B run works,
+        # ADVICE r2); the clamp keeps the low chunk at >= one 128-lane row
+        # (c = tile_bits - g >= LANE_BITS)
+        g_max = max(1, min(g_max_cross, tile_bits - LANE_BITS))
     T = tile_bits
 
     def sigma(x: int) -> int:
@@ -498,19 +500,48 @@ def bits_to_cmp_words(bits, start_bit: int, end_bit: int) -> list:
 
 _PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
 
-# Mosaic's remote compiler OOMs (SIGKILL) above ~100-120 substages per
-# kernel with the pair-split CE form; oversized sweeps are split into
-# consecutive chunks over the same tile (one extra HBM round trip each,
-# ~3 ms at 2**28 — compile feasibility buys it)
-MAX_SUBSTAGES_PER_KERNEL = int(os.environ.get("THRS_MAX_SUBSTAGES", "96"))
 
-# Cross (hyperblock) sweeps may fuse up to this many high bits per HBM
-# round trip; the contiguous DMA chunk shrinks to 2**(tile_bits - g) * 4B
-# on the widest sweeps (2**10*4B = 4 KB at g=8 — still burst-efficient).
-# At L=28 this cuts the merge phase from 15 cross sweeps (g<=5) to 12.
-# THRS_CROSS_G_MAX overrides for A/B runs (process-wide; the jit cache
-# does not key on it, so set it only at process start).
-CROSS_G_MAX = int(os.environ.get("THRS_CROSS_G_MAX", "8"))
+@dataclass(frozen=True)
+class EngineTuning:
+    """Sweep-planner knobs, carried explicitly so they key every jit cache.
+
+    Read from the environment *at call time* (:meth:`from_env`) by the
+    public entry points and threaded down as a static argument — changing a
+    ``THRS_*`` env var between calls therefore takes effect (it produces a
+    new hashable tuning object and hence a fresh trace) instead of being
+    silently baked into a stale compiled plan.
+
+    max_substages: Mosaic's remote compiler OOMs (SIGKILL) above ~100-120
+    substages per kernel with the pair-split CE form; oversized sweeps are
+    split into consecutive chunks over the same tile (one extra HBM round
+    trip each, ~3 ms at 2**28 — compile feasibility buys it).
+
+    cross_g_max: cross (hyperblock) sweeps may fuse up to this many high
+    bits per HBM round trip; the contiguous DMA chunk shrinks to
+    2**(tile_bits - g) * 4B on the widest sweeps (2**10*4B = 4 KB at g=8 —
+    still burst-efficient). At L=28 this cuts the merge phase from 15 cross
+    sweeps (g<=5) to 12.
+
+    tile_bits_cap: the local-sort kernel's substage count grows with tile
+    size and Mosaic compile time grows superlinearly (2**19 exceeded 15 min
+    on v5e vs ~4 min for 2**18; runtime gain would have been <10%).
+    """
+
+    max_substages: int = 96
+    cross_g_max: int = 8
+    tile_bits_cap: int = 18
+
+    @staticmethod
+    def from_env() -> "EngineTuning":
+        return EngineTuning(
+            max_substages=int(os.environ.get("THRS_MAX_SUBSTAGES", "96")),
+            cross_g_max=int(os.environ.get("THRS_CROSS_G_MAX", "8")),
+            tile_bits_cap=int(os.environ.get("THRS_TILE_BITS_CAP", "18")),
+        )
+
+
+def _tuning_or_env(tuning) -> EngineTuning:
+    return EngineTuning.from_env() if tuning is None else tuning
 
 
 def _split_sweep(sweep: Sweep, max_substages: int):
@@ -525,14 +556,11 @@ def _split_sweep(sweep: Sweep, max_substages: int):
             for i in range(0, len(subs), per)]
 
 
-def _tile_bits_for(nwords: int, L: int) -> int:
+def _tile_bits_for(nwords: int, L: int, tuning: EngineTuning) -> int:
     # in+out double-buffered: ~4 buffers/word of 4B each
     budget_elems = _PAD_TARGET_BYTES // (16 * max(nwords, 1))
-    # cap at 2**18: the local-sort kernel's substage count grows with tile
-    # size and Mosaic compile time grows superlinearly (2**19 exceeded 15 min
-    # on v5e vs ~4 min for 2**18; runtime gain would have been <10%)
-    cap = int(os.environ.get("THRS_TILE_BITS_CAP", "18"))
-    return max(MIN_L, min(cap, int(math.floor(math.log2(budget_elems))), L))
+    return max(MIN_L, min(tuning.tile_bits_cap,
+                          int(math.floor(math.log2(budget_elems))), L))
 
 
 def check_word_contract(cmp_words: list, carry_words: list):
@@ -555,7 +583,8 @@ def check_word_contract(cmp_words: list, carry_words: list):
 
 
 def sort_words(cmp_words: list, carry_words: list,
-               *, interpret: bool | None = None):
+               *, interpret: bool | None = None,
+               tuning: EngineTuning | None = None):
     """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
 
     Returns (cmp_words, carry_words) reordered. Input words must share length.
@@ -567,10 +596,12 @@ def sort_words(cmp_words: list, carry_words: list,
     (:func:`check_word_contract` is the debug validator).
 
     interpret=None auto-selects: compiled kernels on TPU, the Pallas
-    interpreter elsewhere.
+    interpreter elsewhere. tuning=None reads the THRS_* env knobs at call
+    time (:class:`EngineTuning`).
     """
     if interpret is None:
         interpret = common.interpret_default()
+    tuning = _tuning_or_env(tuning)
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words
@@ -581,22 +612,24 @@ def sort_words(cmp_words: list, carry_words: list,
     # bitonic merge steps instead (docs/DESIGN.md §3)
     if n > (1 << MIN_L) and n < (1 << L_full) * 3 // 4 and (n & (n - 1)):
         words = _sort_segmented(list(cmp_words) + list(carry_words), n, ncmp,
-                                interpret)
+                                interpret, tuning)
         return words[:ncmp], words[ncmp:]
 
     n_pad = 1 << L_full
     words = [common.pad_to_multiple(w, n_pad, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [common.pad_to_multiple(w, n_pad, jnp.uint32(0)) for w in carry_words]
-    words = _run_network(words, ncmp, L_full, None, interpret)
+    words = _run_network(words, ncmp, L_full, None, interpret, tuning=tuning)
     words = [w[:n] for w in words]
     return words[:ncmp], words[ncmp:]
 
 
 def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
-                 forced_asc: int | None = None):
+                 forced_asc: int | None = None,
+                 tuning: EngineTuning | None = None):
     """Run the (sub)network given by ``stages`` on 2**L-element words."""
+    tuning = _tuning_or_env(tuning)
     nwords = len(words)
-    tile_bits = _tile_bits_for(nwords, L)
+    tile_bits = _tile_bits_for(nwords, L, tuning)
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
     T = min(tile_bits, L)
     # storage bit rotation: lanes hold the *rarest* network bits (see
@@ -606,8 +639,9 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
     rot = 10 if T > 10 else 0
     parts = [part
              for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages,
-                                      forced_asc, g_max_cross=CROSS_G_MAX)
-             for part in _split_sweep(sweep, MAX_SUBSTAGES_PER_KERNEL)]
+                                      forced_asc,
+                                      g_max_cross=tuning.cross_g_max)
+             for part in _split_sweep(sweep, tuning.max_substages)]
     if rot:
         # fuse the storage rotation into the boundary kernels when they are
         # local sweeps (tile == one 2**T block) and the in-VMEM transpose
@@ -631,7 +665,8 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
 
 
 def sort_words_rows(cmp_words: list, carry_words: list, shape,
-                    *, interpret: bool | None = None):
+                    *, interpret: bool | None = None,
+                    tuning: EngineTuning | None = None):
     """Row-wise :func:`sort_words`: each of the ``B`` rows of the row-major
     flat words (``shape = (B, nr)``, word length ``B*nr``) is sorted
     independently by lexicographic unsigned cmp order.
@@ -666,13 +701,14 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [pad(w, jnp.uint32(0)) for w in carry_words]
     words = _run_network(words, ncmp, L, range(1, r + 1), interpret,
-                         forced_asc=r)
+                         forced_asc=r, tuning=tuning)
     words = [w.reshape(b_pad, 1 << r)[:B, :nr].reshape(-1) for w in words]
     return words[:ncmp], words[ncmp:]
 
 
 def merge_words_rows(cmp_words: list, carry_words: list, shape,
-                     *, interpret: bool | None = None):
+                     *, interpret: bool | None = None,
+                     tuning: EngineTuning | None = None):
     """Bitonic-merge each row to ascending order.
 
     ``shape = (B, nr)`` with ``nr`` a power of two; every row of the
@@ -701,12 +737,14 @@ def merge_words_rows(cmp_words: list, carry_words: list, shape,
 
     words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [pad(w, jnp.uint32(0)) for w in carry_words]
-    words = _run_network(words, ncmp, L, [r], interpret, forced_asc=r)
+    words = _run_network(words, ncmp, L, [r], interpret, forced_asc=r,
+                         tuning=tuning)
     words = [w[: B * nr] for w in words]
     return words[:ncmp], words[ncmp:]
 
 
-def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool):
+def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool,
+                       tuning: EngineTuning | None = None):
     """Merge a sorted-ascending run with a sorted-descending run.
 
     [asc, sentinel block, desc] padded to a power of two is bitonic (the
@@ -724,20 +762,23 @@ def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool):
         pad = jnp.full((mid,), fill, jnp.uint32)
         out.append(jnp.concatenate([aw, pad, dw]))
     out = _run_network(out, ncmp, m.bit_length() - 1, [m.bit_length() - 1],
-                       interpret)
+                       interpret, tuning=tuning)
     return [w[:a + b] for w in out]
 
 
-def _sort_segmented(words, n: int, ncmp: int, interpret: bool):
+def _sort_segmented(words, n: int, ncmp: int, interpret: bool,
+                    tuning: EngineTuning | None = None):
     """Sort arbitrary-n words: largest power-of-two prefix sorted with the
     full network, the rest sorted recursively, then one bitonic merge."""
     a = 1 << (n.bit_length() - 1)  # largest power of two <= n
     left = [w[:a] for w in words]
     right = [w[a:] for w in words]
-    left = _run_network(left, ncmp, n.bit_length() - 1, None, interpret)
-    cw, kw = sort_words(right[:ncmp], right[ncmp:], interpret=interpret)
+    left = _run_network(left, ncmp, n.bit_length() - 1, None, interpret,
+                        tuning=tuning)
+    cw, kw = sort_words(right[:ncmp], right[ncmp:], interpret=interpret,
+                        tuning=tuning)
     right = [w[::-1] for w in list(cw) + list(kw)]
-    return _merge_sorted_runs(left, right, ncmp, interpret)
+    return _merge_sorted_runs(left, right, ncmp, interpret, tuning)
 
 
 def _rotate_storage(w, T: int, rot: int):
@@ -753,7 +794,8 @@ def _rotate_storage(w, T: int, rot: int):
 
 
 def sort_arrays_bitonic(bits, arrays, start_bit, end_bit, *,
-                        unstable_ok: bool = False, interpret: bool = False):
+                        unstable_ok: bool = False, interpret: bool = False,
+                        tuning: EngineTuning | None = None):
     """Engine entry: stable sort of ``arrays`` by ``bits[start:end)`` window.
 
     ``unstable_ok=True`` skips the stability index word — only valid when the
@@ -775,7 +817,8 @@ def sort_arrays_bitonic(bits, arrays, start_bit, end_bit, *,
         recipe["nwords"] = len(ws)
         carry_words.extend(ws)
         recipes.append(recipe)
-    cmp_out, carry_out = sort_words(cmp_words, carry_words, interpret=interpret)
+    cmp_out, carry_out = sort_words(cmp_words, carry_words,
+                                    interpret=interpret, tuning=tuning)
     out = []
     pos = 0
     for recipe in recipes:

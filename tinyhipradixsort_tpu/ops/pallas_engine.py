@@ -34,17 +34,18 @@ _interpret_default = common.interpret_default
 
 
 def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
-                       unstable_ok=False, interpret=None):
+                       unstable_ok=False, interpret=None, tuning=None):
     """Generic engine interface (same contract as the other engines)."""
     if interpret is None:
         interpret = _interpret_default()
     return bitonic_engine.sort_arrays_bitonic(
         bits, arrays, start_bit, end_bit,
-        unstable_ok=unstable_ok, interpret=interpret)
+        unstable_ok=unstable_ok, interpret=interpret, tuning=tuning)
 
 
 def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
-                   interpret=None, zeros_exact=True, seg_bits=None):
+                   interpret=None, zeros_exact=True, seg_bits=None,
+                   tuning=None):
     """Full-semantics sort returning outputs per ``want`` with minimal words.
 
     ``want``: subset tuple of ("keys", "values", "indices"); ``values`` is a
@@ -137,10 +138,11 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
 
         if batched:
             cmp_out, carry_out = bitonic_engine.sort_words_rows(
-                cmp_words, carry_words, (rows, n), interpret=interpret)
+                cmp_words, carry_words, (rows, n), interpret=interpret,
+                tuning=tuning)
         else:
             cmp_out, carry_out = bitonic_engine.sort_words(
-                cmp_words, carry_words, interpret=interpret)
+                cmp_words, carry_words, interpret=interpret, tuning=tuning)
     else:
         cmp_out, carry_out, recipes = cmp_words, None, None
 

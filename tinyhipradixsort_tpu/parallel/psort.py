@@ -14,10 +14,12 @@ static shapes throughout:
    ``jnp.lexsort`` elsewhere). The compare tuple always ends with the
    original global index word, so local sorts are stable and all tuples are
    globally distinct.
-2. **Splitters**: each chip all_gathers ``oversample*P`` evenly spaced
-   sample tuples from its sorted shard; a replicated lexsort of the sample
-   picks the P-1 global splitter tuples. Ties in key split by original
-   index — equal-key masses spread evenly over destination chips.
+2. **Splitters**: each chip all_gathers ``s`` evenly spaced sample tuples
+   from its sorted shard (``s = oversample*P``, budget-capped in auto mode
+   so the replicated ``P*s`` sample never exceeds ``_SAMPLE_BUDGET``
+   tuples); a replicated lexsort of the sample picks the P-1 global
+   splitter tuples. Ties in key split by original index — equal-key masses
+   spread evenly over destination chips.
 3. **Partition**: local cuts = vectorized binary search of splitter tuples
    in the sorted shard.
 4. **Exchange + merge, overlapped**: P-1 ``ppermute`` ring rounds of one
@@ -80,15 +82,17 @@ def _tuple_lt(a_words, b_words):
     return lt
 
 
-def _local_sort_words(cmp_words, carry_words, method: str):
+def _local_sort_words(cmp_words, carry_words, method: str, tuning=None):
     if method == "pallas":
-        return bitonic_engine.sort_words(list(cmp_words), list(carry_words))
+        return bitonic_engine.sort_words(list(cmp_words), list(carry_words),
+                                         tuning=tuning)
     # lexsort is stable; primary key must come last
     perm = jnp.lexsort(tuple(reversed(cmp_words)))
     return ([w[perm] for w in cmp_words], [w[perm] for w in carry_words])
 
 
-def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method):
+def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method,
+                     tuning=None):
     """Merge ``nrows`` sorted sentinel-padded runs (concatenated flat, each
     ``rowlen`` long) into one sorted run.
 
@@ -100,7 +104,7 @@ def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method):
     if method != "pallas" or nrows <= 1:
         if nrows <= 1:
             return list(cmp_words), list(carry_words)
-        return _local_sort_words(cmp_words, carry_words, method)
+        return _local_sort_words(cmp_words, carry_words, method, tuning)
     ncmp = len(cmp_words)
     r = 1 << max(rowlen - 1, 0).bit_length()  # next pow2 >= rowlen
     rows = 1 << max(nrows - 1, 0).bit_length()
@@ -127,7 +131,7 @@ def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method):
         words = [bitonic_pairs(w) for w in words]
         m, k = m * 2, k // 2
         cw, kw = bitonic_engine.merge_words_rows(
-            words[:ncmp], words[ncmp:], (k, m))
+            words[:ncmp], words[ncmp:], (k, m), tuning=tuning)
         words = list(cw) + list(kw)
     return words[:ncmp], words[ncmp:]
 
@@ -161,18 +165,19 @@ def _a2a(x):
 # ---------------------------------------------------------------------------
 
 
-def _merge_two_runs(a_words, b_words, ncmp, method):
+def _merge_two_runs(a_words, b_words, ncmp, method, tuning=None):
     """Merge two sorted sentinel-padded runs (word lists) into one."""
     if method == "pallas":
         return bitonic_engine._merge_sorted_runs(
             list(a_words), [jnp.flip(w) for w in b_words], ncmp,
-            bitonic_engine.common.interpret_default())
+            bitonic_engine.common.interpret_default(), tuning)
     merged = [jnp.concatenate([aw, bw]) for aw, bw in zip(a_words, b_words)]
-    cw, kw = _local_sort_words(merged[:ncmp], merged[ncmp:], method)
+    cw, kw = _local_sort_words(merged[:ncmp], merged[ncmp:], method, tuning)
     return list(cw) + list(kw)
 
 
-def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method):
+def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method,
+                         tuning=None):
     """Main exchange as P-1 ``ppermute`` rounds with an overlapped merge.
 
     Equivalent in bytes and result to the all_to_all + merge-tree pair, but
@@ -206,7 +211,7 @@ def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method):
     def push(run):
         k = 0
         while k in levels:
-            run = _merge_two_runs(levels.pop(k), run, ncmp, method)
+            run = _merge_two_runs(levels.pop(k), run, ncmp, method, tuning)
             k += 1
         levels[k] = run
 
@@ -224,12 +229,12 @@ def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method):
     runs = [levels[k] for k in sorted(levels)]
     acc = runs[0]
     for run in runs[1:]:
-        acc = _merge_two_runs(run, acc, ncmp, method)
+        acc = _merge_two_runs(run, acc, ncmp, method, tuning)
     return acc, count
 
 
-def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
-                 n_idx=1):
+def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
+                 n_idx=1, tuning=None):
     """Runs inside shard_map; all words are (B,) u32 local shards.
 
     The last cmp word must be the original global index (distinct tuples).
@@ -247,10 +252,11 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
 
     # 1. local stable sort
     cmp_words, carry_words = _local_sort_words(
-        words[:ncmp], words[ncmp:], method)
+        words[:ncmp], words[ncmp:], method, tuning)
 
-    # 2. sample + replicated splitter selection
-    s = min(B, oversample * P_)
+    # 2. sample + replicated splitter selection (s per chip, P*s replicated;
+    # s is budget-capped by the entry — see _psort_entry)
+    s = sample_s
     pos = np.asarray([(i * B) // s for i in range(s)], np.int32)
     samples = [jax.lax.all_gather(w[pos], AXIS).reshape(-1)
                for w in cmp_words]  # each (P*s,)
@@ -280,7 +286,7 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
     # (see _ring_exchange_merge)
     merged, count = _ring_exchange_merge(
         list(cmp_words) + list(carry_words), ncmp, cuts,
-        jnp.minimum(seg, cap), cap, P_, me, method)
+        jnp.minimum(seg, cap), cap, P_, me, method, tuning)
     cmp_words, carry_words = merged[:ncmp], merged[ncmp:]
     count = count.astype(jnp.int32)
 
@@ -342,10 +348,10 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
         # kept run is sorted; merge-tree the received boundary pieces and
         # bitonic-merge the two runs (1 + log2(2R) stages vs a full sort)
         m3c, m3k = _merge_runs_tree(recv3[:ncmp], recv3[ncmp:],
-                                    nrows3, cap3, method)
+                                    nrows3, cap3, method, tuning)
         out = bitonic_engine._merge_sorted_runs(
             kept_words, [jnp.flip(w) for w in list(m3c) + list(m3k)],
-            ncmp, bitonic_engine.common.interpret_default())
+            ncmp, bitonic_engine.common.interpret_default(), tuning)
         cmp_words, carry_words = out[:ncmp], out[ncmp:]
     elif method == "pallas":
         cmp_words, carry_words = kept_words[:ncmp], kept_words[ncmp:]
@@ -353,7 +359,7 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, oversample,
         final_words = [jnp.concatenate([kw, r3])
                        for kw, r3 in zip(kept_words, recv3)]
         cmp_words, carry_words = _local_sort_words(
-            final_words[:ncmp], final_words[ncmp:], method)
+            final_words[:ncmp], final_words[ncmp:], method, tuning)
     cmp_words = tuple(w[:B] for w in cmp_words)
     carry_words = tuple(w[:B] for w in carry_words)
     overflow = jax.lax.psum(overflow.astype(jnp.int32), AXIS) > 0
@@ -404,6 +410,14 @@ def _consume_overflow(out, check):
     under an outer trace (flag is a tracer) a debug callback traps at
     runtime — the reference's THRS_ASSERT/__debugbreak philosophy
     (hpp:14-15): a hard stop beats corrupted output.
+
+    Caveat (ADVICE r2): JAX delivers callback exceptions best-effort — the
+    process stops, but possibly after downstream ops consumed the (clipped)
+    results. Traced callers that need a deterministic, ordered error path
+    must pass check=True and branch on the returned flag themselves (e.g.
+    via jax.lax.cond or checkify at their own boundary); overflow is
+    impossible at default oversample/slack in any case (analytic capacity
+    floor, see _psort_entry).
     """
     out = list(out)
     overflow = out.pop()
@@ -416,18 +430,30 @@ def _consume_overflow(out, check):
     return tuple(out)
 
 
+# Replicated-sample budget (tuples): each chip all_gathers P*s sample
+# tuples, s = oversample samples per splitter per chip. With the auto
+# oversample (4P) and no cap, the replicated sample is 4P^3 tuples — a
+# cubic-in-P memory/compute cliff (~0.8 GB at P=256, ADVICE r2). Auto mode
+# caps s at _SAMPLE_BUDGET/P (total replicated sample <= _SAMPLE_BUDGET
+# tuples, ~16 MB/word) and compensates by computing the capacity floor
+# from the *actual* s, so precision loss only ever raises buffer capacity,
+# never risks overflow. An explicit oversample= is never capped.
+_SAMPLE_BUDGET = 1 << 22
+
+
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "descending", "method", "oversample", "slack", "want", "check",
-    "zeros_exact", "_unsafe_cap", "_force_wide"))
+    "zeros_exact", "tuning", "_unsafe_cap", "_force_wide"))
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
-                 slack, want, check, zeros_exact=True, _unsafe_cap=None,
-                 _force_wide=False):
+                 slack, want, check, zeros_exact=True, tuning=None,
+                 _unsafe_cap=None, _force_wide=False):
     P_ = mesh.shape[AXIS]
-    if oversample is None:
-        # auto: scale with P so the capacity floor B/P + 2B/oversample
-        # stays ~1.5B/P (== the slack default: buffers sized exactly at the
-        # analytic bound) at any mesh size, while the replicated sample
-        # stays small (4P^2 tuples); see docs/DESIGN.md §4a comms model
+    auto_oversample = oversample is None
+    if auto_oversample:
+        # auto: scale with P so the capacity floor B/P + 2*B*P/s stays
+        # ~1.5B/P (== the slack default: buffers sized exactly at the
+        # analytic bound) until the sample budget binds (P ~ 100 at the
+        # default budget); see docs/DESIGN.md §4a comms model
         oversample = max(32, 4 * P_)
     if keys.ndim != 1:
         raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
@@ -484,27 +510,34 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
             carry_words += [_pad_global(w, n_pad, jnp.uint32(0)) for w in ws]
             recipes.append(recipe)
 
+    # Per-chip sample count: s regularly spaced tuples from the sorted
+    # shard; the splitter rank error under regular sampling is <= B*P/s
+    # per boundary. Auto mode budget-caps s (see _SAMPLE_BUDGET).
+    s = min(B, oversample * P_)
+    if auto_oversample:
+        s = min(s, max(P_, _SAMPLE_BUDGET // P_))
+
     # Static exchange capacity. The worst-case (src,dst) segment under
     # stride pre-exchange + regular sampling is B/P plus the splitter drift
-    # (<= B/oversample per boundary, docs/DESIGN.md §4) on each side, so the
-    # analytic bound B/P + 2*ceil(B/oversample) is enforced as a floor —
-    # slack only ever *raises* capacity. This closes the silent-truncation
+    # (<= B*P/s per boundary, docs/DESIGN.md §4) on each side, so the
+    # analytic bound B/P + 2*ceil(B*P/s) is enforced as a floor — slack
+    # only ever *raises* capacity. This closes the silent-truncation
     # window the advisor flagged at P > slack*oversample/4 (ADVICE round 1):
     # overflow is now impossible at defaults, and if a capacity violation
     # does occur (e.g. a caller-forced tiny cap) it raises at runtime
     # instead of returning silently dropped elements (check=True instead
     # returns the flag for the caller to handle).
-    bound = B // P_ + 2 * int(math.ceil(B / oversample))
+    bound = B // P_ + 2 * int(math.ceil(B * P_ / s))
     cap = max(int(math.ceil(slack * B / P_)), bound) + 8
     if _unsafe_cap is not None:
         cap = int(_unsafe_cap)
     cap = min(cap, B)
-    cap3 = min(int(math.ceil(4.0 * B / oversample)) + 16, B)
+    cap3 = min(int(math.ceil(4.0 * B * P_ / s)) + 16, B)
 
     shard = functools.partial(
         _psort_shard, P_=P_, cap=cap, cap3=cap3,
-        method=_resolve_local_method(method), oversample=oversample,
-        n_idx=2 if wide_index else 1)
+        method=_resolve_local_method(method), sample_s=s,
+        n_idx=2 if wide_index else 1, tuning=tuning)
     spec_w = P(AXIS)
     fn = jax.shard_map(
         lambda c, k: shard(c, k),
@@ -570,6 +603,7 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
     out = _psort_entry(keys, (), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
                        want=("keys",), check=check, zeros_exact=zeros_exact,
+                       tuning=bitonic_engine.EngineTuning.from_env(),
                        _unsafe_cap=_unsafe_cap, _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     return out if check else out[0]
@@ -586,6 +620,7 @@ def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
     out = _psort_entry(keys, tuple(leaves), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
                        want=("keys", "values"), check=check,
+                       tuning=bitonic_engine.EngineTuning.from_env(),
                        _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     k, v = out[0], jax.tree.unflatten(treedef, out[1])
@@ -601,6 +636,7 @@ def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
     out = _psort_entry(keys, (), mesh=mesh, descending=descending,
                        method=method, oversample=oversample, slack=slack,
                        want=("indices",), check=check,
+                       tuning=bitonic_engine.EngineTuning.from_env(),
                        _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     return out if check else out[0]

@@ -37,6 +37,7 @@ import numpy as np
 from . import keybits
 from .config import Config, SortOrder
 from .ops import argsort_engine, common, counting_engine
+from .ops.bitonic_engine import EngineTuning
 
 __all__ = ["sort_keys", "sort_pairs", "sort_indices", "RadixSort",
            "segment_ids_from_offsets"]
@@ -81,7 +82,7 @@ def _resolve_method(method: str) -> str:
     return "argsort"
 
 
-def _sort_arrays(bits, arrays, start_bit, end_bit, method):
+def _sort_arrays(bits, arrays, start_bit, end_bit, method, tuning=None):
     if method == "argsort":
         return argsort_engine.sort_arrays_argsort(bits, arrays, start_bit, end_bit)
     if method == "lsd_argsort":
@@ -91,17 +92,18 @@ def _sort_arrays(bits, arrays, start_bit, end_bit, method):
     if method == "pallas":
         from .ops import pallas_engine
 
-        return pallas_engine.sort_arrays_pallas(bits, arrays, start_bit, end_bit)
+        return pallas_engine.sort_arrays_pallas(bits, arrays, start_bit,
+                                                end_bit, tuning=tuning)
     raise ValueError(f"unknown method {method!r}")
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("descending", "start_bit", "end_bit", "method", "want",
-                     "zeros_exact"),
+                     "zeros_exact", "tuning"),
 )
 def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
-                zeros_exact=True, segment_ids=None):
+                zeros_exact=True, segment_ids=None, tuning=None):
     """want: subset of {'keys','values','indices'} controlling outputs."""
     n = keys.shape[0]
     leaves, treedef = [], None
@@ -122,7 +124,7 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
         out = pallas_engine.sort_semantics(
             keys, leaves, descending=descending, start_bit=start_bit,
             end_bit=end_bit, want=want, zeros_exact=zeros_exact,
-            seg_bits=seg_bits)
+            seg_bits=seg_bits, tuning=tuning)
         result = []
         pos = 0
         if "keys" in want:
@@ -164,11 +166,13 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
     def row_sort(b, sb, *arrs):
         arrs = list(arrs)
         if sb is None:
-            return tuple(_sort_arrays(b, arrs, start_bit, end_bit, method))
+            return tuple(_sort_arrays(b, arrs, start_bit, end_bit, method,
+                                      tuning))
         # segmented on portable engines: two stable passes (LSD composition)
         # — by key bits, then by segment bits
-        out1 = _sort_arrays(b, arrs + [sb], start_bit, end_bit, method)
-        return tuple(_sort_arrays(out1[-1], out1[:-1], 0, seg_width, method))
+        out1 = _sort_arrays(b, arrs + [sb], start_bit, end_bit, method, tuning)
+        return tuple(_sort_arrays(out1[-1], out1[:-1], 0, seg_width, method,
+                                  tuning))
 
     if keys.ndim == 2:
         # batched rows for the portable engines: vmap the whole row sort
@@ -205,7 +209,7 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
 _sort_entry_donated = jax.jit(
     _sort_entry.__wrapped__,
     static_argnames=("descending", "start_bit", "end_bit", "method", "want",
-                     "zeros_exact"),
+                     "zeros_exact", "tuning"),
     donate_argnums=(0, 1),
 )
 
@@ -288,6 +292,7 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys",), zeros_exact=zeros_exact,
         segment_ids=_prep_segments(segment_ids, keys),
+        tuning=EngineTuning.from_env(),
     )
     return out
 
@@ -310,6 +315,7 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys", "values"),
         segment_ids=_prep_segments(segment_ids, keys),
+        tuning=EngineTuning.from_env(),
     )
     return out_keys, out_values
 
@@ -330,6 +336,7 @@ def sort_indices(keys, *, order="ascending", start_bit=0, end_bit=None,
         keys, None, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("indices",),
         segment_ids=_prep_segments(segment_ids, keys),
+        tuning=EngineTuning.from_env(),
     )
     return perm
 

@@ -32,13 +32,16 @@ WORD = 4  # u32 bytes
 
 def capacities(B: int, P: int, oversample: int | None, slack: float):
     """Mirror of psort._psort_entry's capacity formulas (keep in sync)."""
-    if oversample is None:
+    auto = oversample is None
+    if auto:
         oversample = max(32, 4 * P)
-    bound = B // P + 2 * int(math.ceil(B / oversample))
+    s = min(B, oversample * P)
+    if auto:  # replicated-sample budget cap (psort._SAMPLE_BUDGET)
+        s = min(s, max(P, (1 << 22) // P))
+    bound = B // P + 2 * int(math.ceil(B * P / s))
     cap = max(int(math.ceil(slack * B / P)), bound) + 8
     cap = min(cap, B)
-    cap3 = min(int(math.ceil(4.0 * B / oversample)) + 16, B)
-    s = min(B, oversample * P)
+    cap3 = min(int(math.ceil(4.0 * B * P / s)) + 16, B)
     return cap, cap3, s, oversample
 
 
@@ -57,7 +60,7 @@ def phase_bytes(B: int, P: int, W: int, Wc: int, *, oversample=None,
         # rebalance: 2R ring ppermutes of one (cap3,) buffer (psort.py step
         # 6) — NOT an all_to_all of (P, cap3), which would ship (P-1)*cap3
         "rebalance_wire": 2 * min(P - 1, 4) * cap3 * W * WORD,
-        "rebalance_payload": 2 * (B / oversample) * W * WORD,  # drift bound
+        "rebalance_payload": 2 * (B * P / s) * W * WORD,  # drift bound
         "counts": (P - 1) * 4,
     }
 

@@ -42,13 +42,14 @@ def main():
     L, nwords = args.L, args.words
     n = 1 << L
 
-    tile_bits = be._tile_bits_for(nwords, L)
+    tuning = be.EngineTuning.from_env()
+    tile_bits = be._tile_bits_for(nwords, L, tuning)
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
     T = min(tile_bits, L)
     rot = 10 if T > 10 else 0
     parts = [p for s in be.plan_sweeps(L, tile_bits, chunk_bits, rot,
-                                       g_max_cross=be.CROSS_G_MAX)
-             for p in be._split_sweep(s, be.MAX_SUBSTAGES_PER_KERNEL)]
+                                       g_max_cross=tuning.cross_g_max)
+             for p in be._split_sweep(s, tuning.max_substages)]
 
     rng = np.random.default_rng(0)
     words = [jax.device_put(jnp.asarray(
