@@ -6,7 +6,8 @@ per case (unittest.cpp:20-21, 127-168) and a 1e8-sample FPKeys order
 property (unittest.cpp:81-94). Here: >= 64 random sizes per
 (dtype x order x engine) keys case, a pairs matrix with sequential payloads
 (stability probes, unittest.cpp:426-487), random digit windows
-(unittest.cpp:248-355), and a 1e7-sample FPKeys sweep per float dtype.
+(unittest.cpp:248-355), and a 1e8-sample FPKeys sweep per float dtype
+(the reference's exact density).
 
 Sizes are drawn from per-case *deterministic* seeds so the persistent
 compile cache makes every nightly after the first cheap (each distinct n is
@@ -141,11 +142,11 @@ def test_full_random_bit_windows_u64(engine):
 
 @pytest.mark.parametrize("dtype", [np.float32, np.float64, np.float16])
 def test_full_fpkeys_order_property(dtype):
-    # a < b  <=>  key_bits(a) < key_bits(b), 1e7 random samples per dtype
-    # (reference FPKeys.float checks 1e8, unittest.cpp:81-94; pure numpy —
-    # no device involved, so density is cheap)
+    # a < b  <=>  key_bits(a) < key_bits(b), 1e8 random samples per dtype —
+    # the reference's exact density (FPKeys.float, unittest.cpp:81-94;
+    # pure numpy — no device involved, ~2 min/dtype on this host)
     rng = np.random.default_rng(0xF19A75)
-    n = 10_000_000
+    n = 100_000_000
     raw = rng.integers(0, 2 ** (np.dtype(dtype).itemsize * 8), size=n,
                        dtype=np.uint64)
     x = raw.astype(_view(dtype)).view(dtype)

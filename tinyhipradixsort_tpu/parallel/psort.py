@@ -431,14 +431,17 @@ def _consume_overflow(out, check):
 
 
 # Replicated-sample budget (tuples): each chip all_gathers P*s sample
-# tuples, s = oversample samples per splitter per chip. With the auto
-# oversample (4P) and no cap, the replicated sample is 4P^3 tuples — a
-# cubic-in-P memory/compute cliff (~0.8 GB at P=256, ADVICE r2). Auto mode
-# caps s at _SAMPLE_BUDGET/P (total replicated sample <= _SAMPLE_BUDGET
-# tuples, ~16 MB/word) and compensates by computing the capacity floor
-# from the *actual* s, so precision loss only ever raises buffer capacity,
-# never risks overflow. An explicit oversample= is never capped.
-_SAMPLE_BUDGET = 1 << 22
+# tuples, s = oversample*P samples per chip. With the auto oversample (4P)
+# and no cap, the replicated sample is 4P^3 tuples — a cubic-in-P
+# memory/compute cliff (~0.8 GB at P=256, ADVICE r2). Auto mode caps s at
+# _SAMPLE_BUDGET/P (total replicated sample <= _SAMPLE_BUDGET tuples,
+# 32 MB/word — full splitter precision holds through P = 128; beyond that
+# the capacity floor grows as ~2P^2/_SAMPLE_BUDGET * B, a documented
+# pod-scale limit, DESIGN.md §4a) and compensates by computing the
+# capacity floor from the *actual* s, so precision loss only ever raises
+# buffer capacity, never risks overflow. An explicit oversample= is never
+# capped.
+_SAMPLE_BUDGET = 1 << 23
 
 
 @functools.partial(jax.jit, static_argnames=(

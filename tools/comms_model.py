@@ -37,7 +37,7 @@ def capacities(B: int, P: int, oversample: int | None, slack: float):
         oversample = max(32, 4 * P)
     s = min(B, oversample * P)
     if auto:  # replicated-sample budget cap (psort._SAMPLE_BUDGET)
-        s = min(s, max(P, (1 << 22) // P))
+        s = min(s, max(P, (1 << 23) // P))
     bound = B // P + 2 * int(math.ceil(B * P / s))
     cap = max(int(math.ceil(slack * B / P)), bound) + 8
     cap = min(cap, B)
