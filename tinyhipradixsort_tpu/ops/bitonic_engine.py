@@ -530,6 +530,14 @@ class EngineTuning:
     max_substages: int = 96
     cross_g_max: int = 8
     tile_bits_cap: int = 18
+    # MSB-partition front-end (ops/partition_engine.py). partition_bits=0
+    # disables it; >0 routes sort_words through the partition pipeline for
+    # n >= partition_min_n. row/tile bits 0 = auto (L-rb+1 / 18). Off by
+    # default pending on-chip measurement (VERDICT r2 item 3).
+    partition_bits: int = 0
+    partition_min_n: int = 1 << 24
+    partition_row_bits: int = 0
+    partition_tile_bits: int = 0
 
     @staticmethod
     def from_env() -> "EngineTuning":
@@ -537,6 +545,13 @@ class EngineTuning:
             max_substages=int(os.environ.get("THRS_MAX_SUBSTAGES", "96")),
             cross_g_max=int(os.environ.get("THRS_CROSS_G_MAX", "8")),
             tile_bits_cap=int(os.environ.get("THRS_TILE_BITS_CAP", "18")),
+            partition_bits=int(os.environ.get("THRS_PARTITION_BITS", "0")),
+            partition_min_n=int(os.environ.get("THRS_PARTITION_MIN_N",
+                                               str(1 << 24))),
+            partition_row_bits=int(os.environ.get("THRS_PARTITION_ROW_BITS",
+                                                  "0")),
+            partition_tile_bits=int(os.environ.get("THRS_PARTITION_TILE_BITS",
+                                                   "0")),
         )
 
 
@@ -605,6 +620,12 @@ def sort_words(cmp_words: list, carry_words: list,
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words
+    if (tuning.partition_bits > 0 and n >= tuning.partition_min_n
+            and n < (1 << 31)):
+        from . import partition_engine
+
+        return partition_engine.sort_words_partition(
+            cmp_words, carry_words, interpret=interpret, tuning=tuning)
     ncmp = len(cmp_words)
     L_full = max(_ceil_log2(n), MIN_L)
     # non-power-of-two: padding to 2**L wastes up to 2x work; when the waste
