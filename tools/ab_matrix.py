@@ -67,6 +67,10 @@ def main():
         ("g5(r1-width)", be.EngineTuning(cross_g_max=5)),
         ("sub64", be.EngineTuning(max_substages=64)),
         ("tile17", be.EngineTuning(tile_bits_cap=17)),
+        # MSB-partition front-end (VERDICT r2 item 3): 8-bit and 12-bit
+        # splits; partition_min_n=0 so the quick tier also exercises it
+        ("part8", be.EngineTuning(partition_bits=8, partition_min_n=0)),
+        ("part12", be.EngineTuning(partition_bits=12, partition_min_n=0)),
     ]
     if args.fine:
         variants[2:2] = [("g6", be.EngineTuning(cross_g_max=6)),
