@@ -228,6 +228,18 @@ def _lex_lt(xs, ps, ncmp: int):
     return lt
 
 
+def _umin_umax(a, b):
+    """(min, max) of two u32 vectors via one compare + two selects.
+
+    jnp.minimum/maximum on u32 lowers to arith.minui/maxui, which the v5e
+    Mosaic backend fails to legalize on vectors (measured on-chip r3:
+    "failed to legalize operation 'arith.minui'"); unsigned compare +
+    select is the known-good r1 form.
+    """
+    lt = a < b
+    return jnp.where(lt, a, b), jnp.where(lt, b, a)
+
+
 def _stage_groups(substages):
     """Group consecutive substages by (stored) stage k.
 
@@ -261,7 +273,7 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
             else:
                 d, axis = 1 << (fb - LANE_BITS), 0
             a = pltpu.roll(x, jnp.int32(x.shape[axis] - d), axis)  # x[pos+d]
-            mn, mx = jnp.minimum(x, a), jnp.maximum(x, a)
+            mn, mx = _umin_umax(x, a)
             return [jnp.where(hbit == 1,
                               pltpu.roll(mx, jnp.int32(d), axis), mn)]
         ps = [_partner(x, fb, hbit == 1) for x in xs]
@@ -282,8 +294,7 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
         if nwords == 1:
             # single-word min/max form: a full CE in two vector ops
             x = xs[0].reshape(rows // (2 * m), 2, m, 128)
-            mn = jnp.minimum(x[:, 0], x[:, 1])
-            mx = jnp.maximum(x[:, 0], x[:, 1])
+            mn, mx = _umin_umax(x[:, 0], x[:, 1])
             return [jnp.stack([mn, mx], axis=1).reshape(shape)]
         los = [x.reshape(rows // (2 * m), 2, m, 128)[:, 0] for x in xs]
         his = [x.reshape(rows // (2 * m), 2, m, 128)[:, 1] for x in xs]

@@ -124,10 +124,17 @@ def sort_words_partition(cmp_words: list, carry_words: list,
     ok = jnp.max(total) <= jnp.int32(F)
 
     def partition_branch(words):
+        # associative_scan, not jnp.cumsum: XLA:TPU rewrites the cumsum
+        # reduce-window into a variadic (2,128) form whose scoped-vmem
+        # stack accounting blows the 20 MB limit on v5e (measured on-chip
+        # r3: "Scoped allocation with size 23.09M ... It should not be
+        # possible to run out of scoped vmem"); the log-depth scan lowers
+        # to plain slice/pad/add
+        cum_total = jax.lax.associative_scan(jnp.add, total)
         bucket_excl = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(total)[:-1]])
-        tile_base = bucket_excl[None, :] + (jnp.cumsum(counts, axis=0)
-                                            - counts)
+            [jnp.zeros((1,), jnp.int32), cum_total[:-1]])
+        tile_base = bucket_excl[None, :] + (
+            jax.lax.associative_scan(jnp.add, counts, axis=0) - counts)
         p = _iota((T, G), 1, jnp.int32)
         dest = (jnp.take_along_axis(tile_base, spd, axis=1)
                 + (p - jnp.take_along_axis(cum[:, :-1], spd, axis=1)))
