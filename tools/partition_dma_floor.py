@@ -41,10 +41,16 @@ B = 256  # buckets (8-bit digit)
 
 
 def scatter_kernel(off_ref, src_ref, out_ref, sem, *, r, w):
+    # off_ref is the scalar-prefetch arg: the full (t, B) offset table in
+    # SMEM (a (1, B) SMEM *block* fails Mosaic's block-mapping check).
+    ti = pl.program_id(0)
+
     def dma(b):
         return pltpu.make_async_copy(
-            src_ref.at[0, pl.ds(b * r, r)],
-            out_ref.at[pl.ds(off_ref[0, b], r)],
+            src_ref.at[pl.ds(b * r, r)],
+            # run *index* x static r: Mosaic can prove the slice offset is
+            # divisible by the HBM tiling (a raw dynamic offset cannot be)
+            out_ref.at[pl.ds(off_ref[ti, b] * r, r)],
             sem.at[b % w])
 
     for b in range(B):
@@ -66,29 +72,31 @@ def main():
     n = t * B * r
 
     rng = np.random.default_rng(0)
-    src = rng.integers(0, 2**32, size=(t, B * r), dtype=np.uint32)
+    src = rng.integers(0, 2**32, size=t * B * r, dtype=np.uint32)
     # disjoint shuffled destination regions: dynamic addressing with the
     # same randomness a real partition would see, no write hazards
     perm = rng.permutation(t * B).reshape(t, B).astype(np.int32)
-    offs = perm * np.int32(r)
+    offs = perm  # run indices; kernel multiplies by r
+
 
     fn = pl.pallas_call(
         functools.partial(scatter_kernel, r=r, w=w),
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((1, B), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B * r), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t,),
+            in_specs=[pl.BlockSpec((B * r,), lambda i, offs: (i,))],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((w,))],
+        ),
         out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((w,))],
     )
     fn = jax.jit(fn)
     out = np.asarray(fn(jnp.asarray(offs), jnp.asarray(src)))
     want = np.empty(n, np.uint32)
     for ti in range(t):
         for b in range(B):
-            want[offs[ti, b]:offs[ti, b] + r] = src[ti, b * r:(b + 1) * r]
+            o = offs[ti, b] * r
+            want[o:o + r] = src[(ti * B + b) * r:(ti * B + b + 1) * r]
     np.testing.assert_array_equal(out, want)
 
     offs_d, src_d = jnp.asarray(offs), jnp.asarray(src)
@@ -97,12 +105,12 @@ def main():
         t0 = time.perf_counter()
         np.asarray(fn(offs_d, src_d)[:8])
         best = min(best, time.perf_counter() - t0)
-    noop = jax.jit(lambda x: x + jnp.uint32(1))
-    np.asarray(noop(src_d)[:2, :8])
+    noop = jax.jit(lambda x: x[:256] + jnp.uint32(1))
+    np.asarray(noop(src_d)[:8])
     t_floor = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        np.asarray(noop(src_d)[:2, :8])
+        np.asarray(noop(src_d)[:8])
         t_floor = min(t_floor, time.perf_counter() - t0)
     dt = max(best - t_floor, 1e-9)
     wr = n * 4
