@@ -44,6 +44,26 @@ def repeat_fn(fn, loops):
     return jax.jit(run)
 
 
+def _gen_kv_device(seed, n, key_dtype, val_dtype):
+    """Generate (keys, values) on device — donation-based timing consumes
+    its inputs each rep, and host->device of GBs through the tunnel is too
+    slow to regenerate from numpy."""
+    import jax.random as jr
+    kd, vd = jnp.dtype(key_dtype), jnp.dtype(val_dtype)
+    k = jr.key(seed.astype(jnp.uint32) if hasattr(seed, "astype") else seed)
+    if kd.itemsize == 8:
+        hi = jr.bits(k, (n,), jnp.uint32).astype(jnp.uint64)
+        lo = jr.bits(jr.fold_in(k, 1), (n,), jnp.uint32).astype(jnp.uint64)
+        keys = (hi << jnp.uint64(32)) | lo
+    else:
+        keys = jr.bits(k, (n,), jnp.uint32)
+    if kd.kind == "f":
+        keys = jax.lax.bitcast_convert_type(
+            keys, jnp.float64 if kd.itemsize == 8 else jnp.float32)
+    vals = jnp.arange(n, dtype=vd)
+    return keys, vals
+
+
 def gen(dtype, n, rng):
     dtype = np.dtype(dtype)
     if dtype.kind == "f":
@@ -92,7 +112,33 @@ def main():
         live = 4 * n * words + np.dtype(dtype).itemsize * n * 2 \
             + (np.dtype(pairs).itemsize * n * 2 if pairs else 0)
         if live > 13e9:
-            continue  # HBM guard
+            # The jnp comparison column cannot co-reside at this size
+            # (KV64 @256M: live ~ 13.9 GB). Measure ours-only with donated
+            # inputs (engine words + one io set ~ 9.7 GB); inputs are
+            # regenerated on device per rep since donation consumes them.
+            if not pairs or live > 18e9:
+                continue  # HBM guard
+            mk = jax.jit(lambda s: _gen_kv_device(s, n, dtype, pairs))
+            t_ours = float("inf")
+            for rep in range(args.reps):
+                keys, vals = mk(np.uint32(rep))
+                jax.block_until_ready((keys, vals))
+                t0 = time.perf_counter()
+                sk, sv = thrs.sort_pairs(keys, vals, method=method,
+                                         donate=True)
+                np.asarray(sk[:8]), np.asarray(sv[:8])  # force completion
+                t_ours = min(t_ours, time.perf_counter() - t0)
+                del keys, vals, sk, sv
+            row = {"workload": name, "n": n, "loops": 1,
+                   "ours_s": round(t_ours, 6), "jnp_s": None,
+                   "ours_keys_per_s": round(n / max(t_ours, 1e-9), 1),
+                   "speedup_vs_jnp": None,
+                   "note": "ours-only, donated buffers; jnp column "
+                           "exceeds 16 GB HBM at this size"}
+            results.append(row)
+            print(f"| {name} | {n/max(t_ours,1e-9)/1e9:.3f} Gkeys/s "
+                  f"| (exceeds HBM) | — |", flush=True)
+            continue
         # amortize the ~30 ms dispatch floor for small n by chaining the sort
         # inside one jit — valid timing because bitonic is data-oblivious
         # (sorting sorted data costs the same)
