@@ -74,7 +74,9 @@ def test_cross_g_max_lowering_takes_effect():
     values below tile_bits - chunk_bits silently do nothing)."""
     wide = be.plan_sweeps(24, 18, 13, 0, g_max_cross=8)
     narrow = be.plan_sweeps(24, 18, 13, 0, g_max_cross=2)
-    gmax = lambda sweeps: max(s.g for s in sweeps if s.c + s.g < 18)
+    # cross sweeps are the ones whose group sits above the tile (j_lo >= 18;
+    # since r3 wide chunks they use c + g == tile_bits just like locals)
+    gmax = lambda sweeps: max(s.g for s in sweeps if s.j_lo >= 18)
     assert gmax(wide) > gmax(narrow) == 2
     # both still cover the full network
     for sweeps in (wide, narrow):

@@ -118,7 +118,8 @@ class Sweep:
 def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
                 rot: int = 0, stages=None,
                 forced_asc: int | None = None,
-                g_max_cross: int | None = None) -> list[Sweep]:
+                g_max_cross: int | None = None,
+                wide_cross_chunk: bool = True) -> list[Sweep]:
     """Greedy sweep plan for the full bitonic network on 2**L elements.
 
     tile_bits: max tile size exponent (VMEM budget); chunk_bits: contiguous
@@ -173,7 +174,15 @@ def plan_sweeps(L: int, tile_bits: int, chunk_bits: int,
             # cross (hyperblock) sweep: group [j_lo, j0]
             j_lo = max(tile_bits, j0 - max(g_max, 1) + 1)
             g = j0 - j_lo + 1
-            c = min(chunk_bits, tile_bits - g)
+            # wide_cross_chunk: the low chunk is payload-only in a cross
+            # sweep (no substage touches bits < j_lo), so grow it to the
+            # full tile budget — the block goes from 2**(13+g) to
+            # 2**tile_bits elements, cutting grid steps up to 16x; measured
+            # on v5e the narrow form left cross sweeps at 143-430 GB/s
+            # (grid-step overhead ~0.8 us/step), see
+            # benchmarks/profile_sweeps_r3.txt
+            c = (tile_bits - g) if wide_cross_chunk \
+                else min(chunk_bits, tile_bits - g)
             take = []
             while pos < len(subs) and j_lo <= subs[pos][1] <= j0:
                 take.append(subs[pos])
@@ -541,6 +550,10 @@ class EngineTuning:
     max_substages: int = 96
     cross_g_max: int = 8
     tile_bits_cap: int = 18
+    # cross sweeps use the full tile budget for the payload chunk
+    # (c = tile_bits - g) instead of capping it at chunk_bits=13; fewer,
+    # bigger blocks per HBM round trip (see plan_sweeps)
+    cross_chunk_wide: bool = True
     # MSB-partition front-end (ops/partition_engine.py). partition_bits=0
     # disables it; >0 routes sort_words through the partition pipeline for
     # n >= partition_min_n. row/tile bits 0 = auto (L-rb+1 / 18). Off by
@@ -556,6 +569,8 @@ class EngineTuning:
             max_substages=int(os.environ.get("THRS_MAX_SUBSTAGES", "96")),
             cross_g_max=int(os.environ.get("THRS_CROSS_G_MAX", "8")),
             tile_bits_cap=int(os.environ.get("THRS_TILE_BITS_CAP", "18")),
+            cross_chunk_wide=os.environ.get("THRS_CROSS_CHUNK_WIDE",
+                                            "1") != "0",
             partition_bits=int(os.environ.get("THRS_PARTITION_BITS", "0")),
             partition_min_n=int(os.environ.get("THRS_PARTITION_MIN_N",
                                                str(1 << 24))),
@@ -672,7 +687,8 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
     parts = [part
              for sweep in plan_sweeps(L, tile_bits, chunk_bits, rot, stages,
                                       forced_asc,
-                                      g_max_cross=tuning.cross_g_max)
+                                      g_max_cross=tuning.cross_g_max,
+                                      wide_cross_chunk=tuning.cross_chunk_wide)
              for part in _split_sweep(sweep, tuning.max_substages)]
     if rot:
         # fuse the storage rotation into the boundary kernels when they are

@@ -66,6 +66,9 @@ def main():
         ("g8(default)", base),
         ("g5(r1-width)", be.EngineTuning(cross_g_max=5)),
         ("sub64", be.EngineTuning(max_substages=64)),
+        # r3 change: cross sweeps widen the payload chunk to the full tile
+        # (16x fewer grid steps on g=1 sweeps); narrow = the r2 behavior
+        ("narrow-cross-chunk(r2)", be.EngineTuning(cross_chunk_wide=False)),
         ("tile17", be.EngineTuning(tile_bits_cap=17)),
         # MSB-partition front-end (VERDICT r2 item 3): 8-bit and 12-bit
         # splits; partition_min_n=0 so the quick tier also exercises it

@@ -48,7 +48,8 @@ def main():
     T = min(tile_bits, L)
     rot = 10 if T > 10 else 0
     parts = [p for s in be.plan_sweeps(L, tile_bits, chunk_bits, rot,
-                                       g_max_cross=tuning.cross_g_max)
+                                       g_max_cross=tuning.cross_g_max,
+                                       wide_cross_chunk=tuning.cross_chunk_wide)
              for p in be._split_sweep(s, tuning.max_substages)]
 
     rng = np.random.default_rng(0)
