@@ -59,8 +59,9 @@ def main():
                     default="full",
                     help="full: whole output vs the native C++ oracle "
                          "(falls back to spot if the oracle .so cannot "
-                         "build); spot: device-side sortedness + histogram "
-                         "check (no 1 GB fetch); none: timing only")
+                         "build); spot: device-side sortedness + XOR/sum "
+                         "permutation invariants (weaker than full — no "
+                         "1 GB fetch); none: timing only")
     args = ap.parse_args()
     n = (1 << 24) if args.quick else args.n
     reps = 3 if args.quick else args.reps

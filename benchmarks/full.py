@@ -58,8 +58,10 @@ def _gen_kv_device(seed, n, key_dtype, val_dtype):
     else:
         keys = jr.bits(k, (n,), jnp.uint32)
     if kd.kind == "f":
-        keys = jax.lax.bitcast_convert_type(
-            keys, jnp.float64 if kd.itemsize == 8 else jnp.float32)
+        # only f32 can be generated on-device; f64 keys are rejected by the
+        # TPU guard in sort.py (no 64-bit bitcast on TPU — host adapters)
+        assert kd.itemsize == 4, "f64 workloads use the host-adapter path"
+        keys = jax.lax.bitcast_convert_type(keys, jnp.float32)
     vals = jnp.arange(n, dtype=vd)
     return keys, vals
 

@@ -68,6 +68,32 @@ def test_wide_cross_sweep_executes():
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+@pytest.mark.parametrize("logn,wide", [(19, True), (20, True), (20, False)])
+def test_large_merge_rot_fusion(logn, wide):
+    """Regression (r3 review): when a sub-network's FIRST sweep is a cross
+    sweep (merges of runs > tile), the storage-rotation transpose must NOT
+    be fused into it — the old guard (c + g == T) matched cross sweeps
+    under wide chunks (and g=5 ones under narrow), silently corrupting
+    every merge > 2**18 (wide) / >= 2**23 (narrow, psort shards)."""
+    n = 1 << logn
+    a = np.sort(RNG.integers(0, 2**32, n // 2, dtype=np.uint32))
+    d = np.sort(RNG.integers(0, 2**32, n // 2, dtype=np.uint32))[::-1]
+    row = jnp.asarray(np.concatenate([a, d]))
+    t = be.EngineTuning(cross_chunk_wide=wide)
+    out = np.asarray(be.merge_words_rows([row], [], (1, n), interpret=True,
+                                         tuning=t)[0][0]).reshape(-1)
+    np.testing.assert_array_equal(out, np.sort(np.concatenate([a, d])))
+
+
+def test_segmented_large_merge():
+    """Non-pow2 n whose segmented path merges > 2**18 elements end to end
+    (the public-API route to the rot-fusion regression above)."""
+    n = 600_000  # 2**19 prefix + 87_712 remainder -> merge over ~2**20
+    x = RNG.integers(0, 2**32, n, dtype=np.uint32)
+    out = np.asarray(be.sort_words([jnp.asarray(x)], [], interpret=True)[0][0])
+    np.testing.assert_array_equal(out, np.sort(x))
+
+
 def test_cross_g_max_lowering_takes_effect():
     """The override REPLACES the default width, so lowering it for an A/B
     run actually narrows cross sweeps (ADVICE r2: the old max() clamp made

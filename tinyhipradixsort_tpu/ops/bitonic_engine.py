@@ -699,11 +699,22 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
             rr = r % T
             return rr == 0 or min(rr, T - rr) >= LANE_BITS
 
-        if parts and parts[0].c + parts[0].g == T and can_fuse(-rot):
+        # a boundary sweep can absorb the rotation only if it is a LOCAL
+        # sweep over one contiguous 2**T block: j_lo == c (the group sits
+        # directly on the chunk) and c + g == T. Checking c + g alone is
+        # wrong: cross sweeps also have c + g == T under wide chunks (and
+        # g == T - chunk_bits under narrow ones), but their tile is
+        # non-contiguous bits [0, c) ∪ [j_lo, j_lo+g), where the in-VMEM
+        # transpose does not implement the storage rotation (silently
+        # unsorted merges > 2**18; caught by review + regression test).
+        def is_local_T(p):
+            return p.j_lo == p.c and p.c + p.g == T
+
+        if parts and is_local_T(parts[0]) and can_fuse(-rot):
             parts[0] = _dc_replace(parts[0], rot_in=rot)
         else:
             words = [_rotate_storage(w, T, -rot) for w in words]
-        if parts and parts[-1].c + parts[-1].g == T and can_fuse(rot):
+        if parts and is_local_T(parts[-1]) and can_fuse(rot):
             parts[-1] = _dc_replace(parts[-1], rot_out=rot)
     for part in parts:
         words = run_sweep(words, part, ncmp, interpret)

@@ -121,7 +121,14 @@ def sort_words_partition(cmp_words: list, carry_words: list,
     cum = cum.astype(jnp.int32)                      # (T, R+1) local bases
     counts = cum[:, 1:] - cum[:, :-1]                # (T, R)
     total = counts.sum(axis=0)                       # (R,)
-    ok = jnp.max(total) <= jnp.int32(F)
+    # skew gate: the top bucket's count includes the all-ones sentinel
+    # padding (n_pad - n elements, up to M-1 >= 2F-1), which the final
+    # truncation drops anyway — exclude it, or roughly half of all input
+    # sizes would categorically take the fallback (r3 review)
+    pad_count = jnp.int32(n_pad - n)
+    real_top = total[R - 1] - pad_count
+    ok = jnp.maximum(jnp.max(total[: R - 1], initial=jnp.int32(0)),
+                     real_top) <= jnp.int32(F)
 
     def partition_branch(words):
         # associative_scan, not jnp.cumsum: XLA:TPU rewrites the cumsum

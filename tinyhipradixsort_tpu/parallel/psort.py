@@ -24,10 +24,13 @@ static shapes throughout:
    in the sorted shard.
 4. **Exchange + merge, overlapped**: P-1 ``ppermute`` ring rounds of one
    static ``(cap,)`` sentinel-padded buffer per word, cap = max(slack*B/P,
-   B/P + 2*ceil(B/oversample)) + 8 (the second term is the analytic
-   worst-case segment under regular sampling — overflow is impossible at
-   defaults for value-spread inputs; cf. PAPERS.md "Histogram Sort with
-   Sampling"); received sorted runs fold into a binary-counter bitonic
+   B/P + 2*ceil(B*P/s)) + 8 where s is the per-chip sample count after the
+   budget cap (s = oversample*P at small P, _SAMPLE_BUDGET/P at large P —
+   so the drift bound GROWS once the cap binds; the second term is the
+   analytic worst-case segment under regular sampling — overflow is
+   impossible at defaults for value-spread inputs; cf. PAPERS.md
+   "Histogram Sort with Sampling"); received sorted runs fold into a
+   binary-counter bitonic
    merge tree *between* rounds, which XLA's TPU scheduler overlaps with
    the in-flight collective-permutes (``_ring_exchange_merge``). Any
    capacity violation raises (or returns the ``check=True`` flag) — never
@@ -304,8 +307,9 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
     # boundary drift travels — and it travels to *nearby* chips only (the
     # boundary shift is the cumulative count drift). An all_to_all of
     # (P, cap3) buffers would ship P-1 rows of padding per chip (measured
-    # by tools/comms_model.py: ~2B words of wire for ~B/oversample of
-    # payload); instead ship one (cap3,) buffer to each of the 2R ring
+    # by tools/comms_model.py: ~2B words of wire for ~B*P/s of
+    # payload, s = budget-capped sample count); instead ship one (cap3,)
+    # buffer to each of the 2R ring
     # neighbors via ppermute — wire drops (P-1)/2R-fold. Pieces beyond the
     # radius or over cap3 raise the overflow flag (error, never silent).
     remote = jnp.arange(P_, dtype=jnp.int32) != me

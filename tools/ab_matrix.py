@@ -39,8 +39,13 @@ from tinyhipradixsort_tpu.ops import bitonic_engine as be  # noqa: E402
 from tinyhipradixsort_tpu.ops import pallas_engine  # noqa: E402
 
 
-def best_time(fn, args, reps):
-    np.asarray(fn(*args)[0][-1:])  # compile + warm
+def best_time(fn, args, reps, check=None):
+    out = fn(*args)[0]
+    np.asarray(out[-1:])  # compile + warm
+    # correctness gate (r3 review): a variant that computes garbage must
+    # not be recorded as a performance number
+    if check is not None and not check(out):
+        raise AssertionError("variant produced incorrect output")
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -91,7 +96,9 @@ def main():
     for name, tuning in variants:
         fn = jax.jit(lambda b, t=tuning: list(be.sort_words(
             [b], [], interpret=interp, tuning=t)[0]))
-        t = max(best_time(fn, (x,), reps) - floor, 1e-9)
+        t = max(best_time(fn, (x,), reps,
+                          check=lambda o: bool(jnp.all(o[1:] >= o[:-1])))
+                - floor, 1e-9)
         rate = n / t / 1e9
         print(f"| {name} | {t*1e3:.1f} | {rate:.3f} |", flush=True)
         rows.append({"variant": name, "ms": round(t * 1e3, 1),
@@ -119,7 +126,15 @@ def main():
     for name, packed in (("window-packed(1w)", True),
                          ("window-2word", False)):
         fn = jax.jit(lambda k, v, p=packed: window_sort(k, v, p))
-        t = max(best_time(fn, (kw, vw), reps) - floor, 1e-9)
+        # check: payload permuted stably by the 8-bit window -> the window
+        # value sequence at the payload's positions must be nondecreasing
+        win_np = (np.asarray(kw) >> 8) & 0xFF
+
+        def _wcheck(o):
+            w = win_np[np.asarray(o)]
+            return bool(np.all(w[1:] >= w[:-1]))
+
+        t = max(best_time(fn, (kw, vw), reps, check=_wcheck) - floor, 1e-9)
         rate = nw / t / 1e9
         print(f"| {name} n=2**{min(args.exp, 24)} | {t*1e3:.1f} | {rate:.3f} |",
               flush=True)

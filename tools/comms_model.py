@@ -26,6 +26,11 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tinyhipradixsort_tpu.parallel.psort import _SAMPLE_BUDGET  # noqa: E402
 
 WORD = 4  # u32 bytes
 
@@ -36,8 +41,8 @@ def capacities(B: int, P: int, oversample: int | None, slack: float):
     if auto:
         oversample = max(32, 4 * P)
     s = min(B, oversample * P)
-    if auto:  # replicated-sample budget cap (psort._SAMPLE_BUDGET)
-        s = min(s, max(P, (1 << 23) // P))
+    if auto:  # replicated-sample budget cap, shared with psort
+        s = min(s, max(P, _SAMPLE_BUDGET // P))
     bound = B // P + 2 * int(math.ceil(B * P / s))
     cap = max(int(math.ceil(slack * B / P)), bound) + 8
     cap = min(cap, B)
