@@ -78,7 +78,7 @@ def main():
         t = max(timed(fn, *words) - floor, 1e-9)
         total += t
         rolls, pairs = classify(p)
-        kind = "local" if p.c + p.g == T else "cross"
+        kind = "local" if p.j_lo == p.c else "cross"
         gb = 2 * n * 4 * nwords / 1e9
         print(f"| {i} | {kind} | {p.c}+{p.g} | {p.j_lo} | "
               f"{len(p.substages)} | {rolls}/{pairs} | {t*1e3:.1f} | "
