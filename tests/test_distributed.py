@@ -199,3 +199,16 @@ def test_psort_non_pow2_mesh(ndev):
         x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
         got = np.asarray(psort_keys(jnp.asarray(x), mesh=m))
         np.testing.assert_array_equal(got, np.sort(x))
+
+
+@pytest.mark.full
+def test_psort_pallas_big_shard_merges():
+    """Regression (r3): psort's fold-tree merges on shards past the tile
+    (2**18) hit the rot-fusion guard bug — a P=2 mesh with 2**19-element
+    shards drives merge sub-networks > 2**18 through the real psort path.
+    Nightly tier: ~2 min of interpret-mode merge sweeps."""
+    m = make_sort_mesh(jax.devices()[:2])
+    n = 1 << 20
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=m, method="pallas"))
+    np.testing.assert_array_equal(got, np.sort(x))
