@@ -46,7 +46,11 @@ Skew: any bucket count > F (zipf heads, all-equal keys, keys concentrated
 under one MSB prefix) breaks the displacement bound; the runtime check
 falls back to the full network via ``lax.cond`` — the data-adaptive
 answer to distributions where an MSB split cannot help. The check
-includes the padding (conservative).
+EXCLUDES the sentinel padding from the top bucket (padding can reach
+M-1 >= 2F-1 elements and would otherwise take the fallback for ~half of
+all sizes); excluding it is safe because the pads are all-equal maxima
+that land as a contiguous tail — only the <= F real top-bucket elements
+need the two-row displacement bound the merge rounds guarantee.
 
 Off by default pending on-chip measurement (VERDICT r2 item 3): enable
 with ``EngineTuning(partition_bits=8)`` / ``THRS_PARTITION_BITS=8``.
@@ -105,6 +109,11 @@ def sort_words_partition(cmp_words: list, carry_words: list,
     rows = n_pad // F
 
     # 1. per-tile stable rank sort of the single packed (digit, index) word
+    # NOTE: steps 1-2 run unconditionally — on gate-fallback inputs (skewed
+    # distributions) the rank sort is wasted work on top of the full sort.
+    # Accepted: a gate-only histogram costs about as much as the rank sort
+    # (both are one n-pass of VPU work), and this whole path is off by
+    # default after the round-3 measured rejection (DESIGN.md §3).
     digit = cw[0] >> jnp.uint32(32 - rb)
     packed = ((digit << jnp.uint32(g))
               | _iota((T, G), 1, jnp.uint32).reshape(-1))

@@ -36,7 +36,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tinyhipradixsort_tpu.ops import bitonic_engine as be  # noqa: E402
-from tinyhipradixsort_tpu.ops import pallas_engine  # noqa: E402
 
 
 def best_time(fn, args, reps, check=None):

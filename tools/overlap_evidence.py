@@ -45,7 +45,11 @@ def get_devices(topo_name: str):
         print(f"# topology API unavailable ({type(e).__name__}: {e}); "
               f"falling back to attached devices", flush=True)
     devs = jax.devices()
-    return devs, f"attached backend {devs[0].platform}", False
+    # an attached multi-device TPU slice compiles through the real TPU
+    # scheduler too — only non-TPU backends disqualify the overlap claim
+    # (review r3: attached slices were misclassified as "not TPU")
+    is_tpu = devs[0].platform == "tpu" and len(devs) >= 2
+    return devs, f"attached backend {devs[0].platform}", is_tpu
 
 
 _LHS_RE = re.compile(r"^\s*%([\w.-]+) = ")

@@ -58,6 +58,11 @@ def scatter_kernel(off_ref, src_ref, out_ref, sem, *, r, w):
         if b % w == w - 1:
             for bb in range(b - w + 1, b + 1):
                 dma(bb).wait()
+    # drain the tail window when w does not divide B (review r3: the last
+    # B % w copies were left in flight)
+    if B % w:
+        for bb in range(B - B % w, B):
+            dma(bb).wait()
 
 
 def main():
