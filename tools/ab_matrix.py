@@ -80,8 +80,12 @@ def main():
         ("part12", be.EngineTuning(partition_bits=12, partition_min_n=0)),
     ]
     if args.fine:
+        # g9/g10: with wide chunks the block is a full tile regardless of g,
+        # so wider fusion costs only DMA burst length (2**(18-g)*4B)
         variants[2:2] = [("g6", be.EngineTuning(cross_g_max=6)),
-                         ("g7", be.EngineTuning(cross_g_max=7))]
+                         ("g7", be.EngineTuning(cross_g_max=7)),
+                         ("g9", be.EngineTuning(cross_g_max=9)),
+                         ("g10", be.EngineTuning(cross_g_max=10))]
 
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
