@@ -106,3 +106,67 @@ def test_batched_value_shape_mismatch():
 def test_3d_keys_rejected():
     with pytest.raises(ValueError):
         thrs.sort_keys(jnp.zeros((2, 3, 4), jnp.uint32))
+
+
+def test_row_plan_tile_multiple_padding():
+    """The batch axis pads to a tile multiple, not a power of two (r3):
+    5000 rows of 1024 pad to 5120 (2.4% waste) instead of 8192 (64%)."""
+    from tinyhipradixsort_tpu.ops import bitonic_engine as be
+
+    t = be.EngineTuning()
+    T, b_pad = be._row_plan(5000, 10, 1, t)
+    assert b_pad == -(-5000 // (1 << (T - 10))) * (1 << (T - 10))
+    assert b_pad <= 5120, (T, b_pad)
+    # tile inside one row: no batch padding at all, any B divides
+    T, b_pad = be._row_plan(3, 22, 1, t)
+    assert T <= 22 and b_pad == 3
+    # pow2 batches keep the full tile (the cost model must not shrink T
+    # when padding is free)
+    T, b_pad = be._row_plan(16384, 10, 1, t)
+    assert T == t.tile_bits_cap and b_pad == 16384
+
+
+def test_batched_nonpow2_batch_tile_multiple_exec():
+    """Execute a plan whose padded batch is NOT a power of two (run_sweep's
+    grid A dimension comes from the real array length)."""
+    from tinyhipradixsort_tpu.ops import bitonic_engine as be
+
+    t = be.EngineTuning(tile_bits_cap=12)
+    B, nr = 136, 32
+    T, b_pad = be._row_plan(B, 5, 1, t)
+    assert b_pad & (b_pad - 1), (T, b_pad)  # policy picked a non-pow2 pad
+    x = _rand(np.uint32, (B, nr))
+    (got,), _ = be.sort_words_rows([jnp.asarray(x.reshape(-1))], [],
+                                   (B, nr), interpret=True, tuning=t)
+    np.testing.assert_array_equal(np.asarray(got).reshape(B, nr),
+                                  np.sort(x, axis=1))
+
+
+def test_batched_nonpow2_batch_pairs_public_api():
+    """Public-API route through the tile-multiple batch pad, with payload
+    stability across heavy duplicates."""
+    B, n = 136, 33
+    x = (_rand(np.uint32, (B, n)) % 5).astype(np.uint32)
+    v = np.broadcast_to(np.arange(n, dtype=np.uint32), (B, n)).copy()
+    k, vv = thrs.sort_pairs(jnp.asarray(x), jnp.asarray(v), method="pallas")
+    want, perm = _oracle_rows(x)
+    np.testing.assert_array_equal(np.asarray(k), want)
+    np.testing.assert_array_equal(np.asarray(vv), np.take_along_axis(v, perm, 1))
+
+
+def test_merge_rows_nonpow2_batch():
+    """merge_words_rows with a non-pow2 batch of bitonic rows."""
+    from tinyhipradixsort_tpu.ops import bitonic_engine as be
+
+    t = be.EngineTuning(tile_bits_cap=12)
+    B, nr = 21, 64
+    rows = []
+    for _ in range(B):
+        a = np.sort(RNG.integers(0, 2**32, nr // 2, dtype=np.uint32))
+        d = np.sort(RNG.integers(0, 2**32, nr // 2, dtype=np.uint32))[::-1]
+        rows.append(np.concatenate([a, d]))
+    x = np.stack(rows)
+    (got,), _ = be.merge_words_rows([jnp.asarray(x.reshape(-1))], [],
+                                    (B, nr), interpret=True, tuning=t)
+    np.testing.assert_array_equal(np.asarray(got).reshape(B, nr),
+                                  np.sort(x, axis=1))

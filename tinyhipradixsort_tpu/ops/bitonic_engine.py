@@ -386,7 +386,15 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
 
 def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool):
     nwords = len(words)
-    A, B = sweep.grid()
+    # A is derived from the words' real length, not 2**sweep.L: only the
+    # block span (j_lo + g bits) must divide the total. Direction bits
+    # k >= j_lo+g read `(a >> bit) & 1`, which is bit k of the flat index
+    # for ANY block count — this is what lets the batched row paths pad the
+    # batch axis to a tile multiple instead of a power of two.
+    total = int(words[0].shape[0])
+    span = 1 << (sweep.j_lo + sweep.g)
+    assert total % span == 0, (total, sweep)
+    A, B = total >> (sweep.j_lo + sweep.g), 1 << (sweep.j_lo - sweep.c)
     g_dim = 1 << sweep.g
     c_rows = (1 << sweep.c) >> LANE_BITS
     view = (A, g_dim, B, c_rows, 128)
@@ -672,11 +680,19 @@ def sort_words(cmp_words: list, carry_words: list,
 
 def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
                  forced_asc: int | None = None,
-                 tuning: EngineTuning | None = None):
-    """Run the (sub)network given by ``stages`` on 2**L-element words."""
+                 tuning: EngineTuning | None = None,
+                 tile_bits: int | None = None):
+    """Run the (sub)network given by ``stages`` on the words.
+
+    ``L`` is the network's index-bit span (stage/direction bits). The word
+    length need not be ``2**L``: any multiple of every sweep's block span
+    works (the batched row paths exploit this with tile-multiple batch
+    padding). ``tile_bits`` overrides the VMEM-budget tile choice.
+    """
     tuning = _tuning_or_env(tuning)
     nwords = len(words)
-    tile_bits = _tile_bits_for(nwords, L, tuning)
+    if tile_bits is None:
+        tile_bits = _tile_bits_for(nwords, L, tuning)
     chunk_bits = min(13, tile_bits - (1 if L > tile_bits else 0))
     T = min(tile_bits, L)
     # storage bit rotation: lanes hold the *rarest* network bits (see
@@ -723,6 +739,53 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
     return words
 
 
+def _row_plan(B: int, r: int, nwords: int, tuning: EngineTuning,
+              merge_only: bool = False) -> tuple[int, int]:
+    """Pick (tile_bits, b_pad) for a row-truncated network of ``B`` rows of
+    ``2**r`` elements.
+
+    Rows never interact (all substage bits < r), so the batch axis only
+    needs to pad to a tile multiple — ``2**(T - r)`` rows when the tile
+    spans multiple rows, no padding at all when ``T <= r``. T is chosen by
+    a cost model over padded elements x per-substage cost: substages whose
+    storage-rotated flat bit lands >= LANE_BITS+3 use the ~2x-cheaper
+    pair-split CE, so shrinking T to cut padding can lose more to roll-form
+    substages than it saves (see make_sweep_kernel).
+    """
+    T_hi = _tile_bits_for(nwords, max(r + _ceil_log2(max(B, 1)), MIN_L),
+                          tuning)
+    if T_hi <= r:
+        return T_hi, B  # tile inside one row: any B divides
+    T_lo = max(min(r, T_hi), MIN_L)
+
+    def cost(T: int) -> tuple[float, int]:
+        m = 1 << (T - r) if T > r else 1
+        b_pad = -(-B // m) * m
+        rot = 10 if T > 10 else 0
+        c = 0.0
+        # substage bit j runs (r - j) times in a full row sort, once in a
+        # row merge
+        for j in range(r):
+            freq = 1 if merge_only else (r - j)
+            fb = (j + rot) % T
+            c += freq * (1.0 if fb >= LANE_BITS + 3 else 2.0)
+        return (b_pad << r) * c, b_pad
+
+    best = min(range(T_lo, T_hi + 1), key=lambda t: (cost(t)[0], -t))
+    return best, cost(best)[1]
+
+
+def _pad_rows(w, B: int, nr: int, r: int, b_pad: int, fill):
+    w = w.reshape(B, nr)
+    if nr != (1 << r):
+        w = jnp.concatenate(
+            [w, jnp.full((B, (1 << r) - nr), fill, jnp.uint32)], axis=1)
+    if B != b_pad:
+        w = jnp.concatenate(
+            [w, jnp.full((b_pad - B, 1 << r), fill, jnp.uint32)], axis=0)
+    return w.reshape(-1)
+
+
 def sort_words_rows(cmp_words: list, carry_words: list, shape,
                     *, interpret: bool | None = None,
                     tuning: EngineTuning | None = None):
@@ -734,8 +797,9 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     flat network runs only stages ``1..r`` with stage ``r`` forced ascending —
     all compare partners flip index bits ``< r``, so rows never interact, and
     the truncated network costs exactly ``B`` times one row's substages. The
-    batch axis pads to a power of two (sentinel rows); same word contract as
-    :func:`sort_words`, applied per row.
+    batch axis pads only to a tile multiple (:func:`_row_plan` — sentinel
+    rows), not a power of two; same word contract as :func:`sort_words`,
+    applied per row.
     """
     if interpret is None:
         interpret = common.interpret_default()
@@ -743,24 +807,16 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     if nr <= 1 or B == 0:
         return cmp_words, carry_words
     ncmp = len(cmp_words)
+    nwords = ncmp + len(carry_words)
     r = _ceil_log2(nr)
-    L = max(_ceil_log2(B) + r, MIN_L)
-    b_pad = 1 << (L - r)
-
-    def pad(w, fill):
-        w = w.reshape(B, nr)
-        if nr != (1 << r):
-            w = jnp.concatenate(
-                [w, jnp.full((B, (1 << r) - nr), fill, jnp.uint32)], axis=1)
-        if B != b_pad:
-            w = jnp.concatenate(
-                [w, jnp.full((b_pad - B, 1 << r), fill, jnp.uint32)], axis=0)
-        return w.reshape(-1)
-
-    words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
-    words += [pad(w, jnp.uint32(0)) for w in carry_words]
-    words = _run_network(words, ncmp, L, range(1, r + 1), interpret,
-                         forced_asc=r, tuning=tuning)
+    tuning = _tuning_or_env(tuning)
+    T, b_pad = _row_plan(B, r, nwords, tuning)
+    words = [_pad_rows(w, B, nr, r, b_pad, jnp.uint32(0xFFFFFFFF))
+             for w in cmp_words]
+    words += [_pad_rows(w, B, nr, r, b_pad, jnp.uint32(0))
+              for w in carry_words]
+    words = _run_network(words, ncmp, max(T, r), range(1, r + 1), interpret,
+                         forced_asc=r, tuning=tuning, tile_bits=T)
     words = [w.reshape(b_pad, 1 << r)[:B, :nr].reshape(-1) for w in words]
     return words[:ncmp], words[ncmp:]
 
@@ -774,7 +830,7 @@ def merge_words_rows(cmp_words: list, carry_words: list, shape,
     row-major flat words must already be a *bitonic* sequence (e.g.
     ``[ascending run, descending run]``, sentinel plateaus allowed). Runs
     only the final merge stage — ``log2(nr)+1`` substages per row instead of
-    a full sort. The batch axis pads to a power of two with sentinel rows
+    a full sort. The batch axis pads to a tile multiple with sentinel rows
     (constant rows are trivially bitonic)."""
     if interpret is None:
         interpret = common.interpret_default()
@@ -784,9 +840,10 @@ def merge_words_rows(cmp_words: list, carry_words: list, shape,
     if nr & (nr - 1):
         raise ValueError(f"merge_words_rows needs power-of-two rows, got {nr}")
     ncmp = len(cmp_words)
+    nwords = ncmp + len(carry_words)
     r = nr.bit_length() - 1
-    L = max(_ceil_log2(B) + r, MIN_L)
-    b_pad = 1 << (L - r)
+    tuning = _tuning_or_env(tuning)
+    T, b_pad = _row_plan(B, r, nwords, tuning, merge_only=True)
 
     def pad(w, fill):
         if B == b_pad:
@@ -796,8 +853,8 @@ def merge_words_rows(cmp_words: list, carry_words: list, shape,
 
     words = [pad(w, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [pad(w, jnp.uint32(0)) for w in carry_words]
-    words = _run_network(words, ncmp, L, [r], interpret, forced_asc=r,
-                         tuning=tuning)
+    words = _run_network(words, ncmp, max(T, r), [r], interpret, forced_asc=r,
+                         tuning=tuning, tile_bits=T)
     words = [w[: B * nr] for w in words]
     return words[:ncmp], words[ncmp:]
 
