@@ -558,6 +558,12 @@ class EngineTuning:
     max_substages: int = 96
     cross_g_max: int = 8
     tile_bits_cap: int = 18
+    # per-word tile byte budget for _tile_bits_for (~4 live 4B buffers per
+    # word). The 8 MB default keeps 1-word configs at tile 2**18 but drops
+    # 5-word pairs (u64+u64) to 2**16 — 4x the grid steps and 2 extra
+    # cross-sweep levels; at tile 2**18 five words are ~21 MB of the 100 MB
+    # scoped-VMEM limit, so raising this is the KV64 A/B knob.
+    pad_target_bytes: int = _PAD_TARGET_BYTES
     # cross sweeps use the full tile budget for the payload chunk
     # (c = tile_bits - g) instead of capping it at chunk_bits=13; fewer,
     # bigger blocks per HBM round trip (see plan_sweeps)
@@ -586,6 +592,8 @@ class EngineTuning:
                                                   "0")),
             partition_tile_bits=int(os.environ.get("THRS_PARTITION_TILE_BITS",
                                                    "0")),
+            pad_target_bytes=(int(os.environ.get("THRS_PAD_TARGET_MB", "0"))
+                              * (1 << 20)) or _PAD_TARGET_BYTES,
         )
 
 
@@ -607,7 +615,7 @@ def _split_sweep(sweep: Sweep, max_substages: int):
 
 def _tile_bits_for(nwords: int, L: int, tuning: EngineTuning) -> int:
     # in+out double-buffered: ~4 buffers/word of 4B each
-    budget_elems = _PAD_TARGET_BYTES // (16 * max(nwords, 1))
+    budget_elems = tuning.pad_target_bytes // (16 * max(nwords, 1))
     return max(MIN_L, min(tuning.tile_bits_cap,
                           int(math.floor(math.log2(budget_elems))), L))
 
