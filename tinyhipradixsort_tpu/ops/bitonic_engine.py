@@ -264,7 +264,15 @@ def _stage_groups(substages):
     return groups
 
 
-def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
+def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int,
+                      tie_safe: bool = False):
+    """tie_safe: make the roll-form CE tie-consistent — both partners of a
+    tied pair keep their own tuple (one extra lex chain per substage), so
+    duplicate cmp tuples with DISTINCT carries still move as a permutation.
+    The default roll form duplicates the low tuple on ties (harmless only
+    under the sort_words word contract); the pair-split form is always
+    tie-consistent. Required by the unstable pairs path (no stability index
+    word)."""
     rows = sweep.tile_elems >> LANE_BITS
     shape = (rows, 128)
 
@@ -286,13 +294,24 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
             return [jnp.where(hbit == 1,
                               pltpu.roll(mx, jnp.int32(d), axis), mn)]
         ps = [_partner(x, fb, hbit == 1) for x in xs]
-        # swap iff (partner < self) == keep_min, keep_min = lo position.
-        # A single compare chain suffices because tie-swaps are harmless
-        # under the sort_words word contract (ties imply bit-identical word
-        # tuples): with a stability index in cmp, tuples are distinct;
-        # without one there are no carry words, so swapping equal cmp
-        # tuples is a no-op.
-        swap = (hbit == 0) == _lex_lt(xs, ps, ncmp)
+        if tie_safe:
+            # strict in both directions: lo swaps iff p < x, hi swaps iff
+            # x < p — a tied pair swaps at NEITHER position, so the pair's
+            # two (possibly distinct-carry) tuples both survive. int32 mask
+            # algebra, not an i1-vector select (Mosaic fails to legalize
+            # select_n on i1 vectors).
+            one, zero = jnp.int32(1), jnp.int32(0)
+            lo_lt = jnp.where(_lex_lt(xs, ps, ncmp), one, zero)
+            hi_lt = jnp.where(_lex_lt(ps, xs, ncmp), one, zero)
+            swap = (jnp.where(hbit == 0, lo_lt, hi_lt) == 1)
+        else:
+            # swap iff (partner < self) == keep_min, keep_min = lo position.
+            # A single compare chain suffices because tie-swaps are harmless
+            # under the sort_words word contract (ties imply bit-identical
+            # word tuples): with a stability index in cmp, tuples are
+            # distinct; without one there are no carry words, so swapping
+            # equal cmp tuples is a no-op.
+            swap = (hbit == 0) == _lex_lt(xs, ps, ncmp)
         return [jnp.where(swap, p, x) for x, p in zip(xs, ps)]
 
     def substage_pair(xs, fb):
@@ -384,7 +403,8 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int):
     return kernel
 
 
-def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool):
+def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool,
+              tie_safe: bool = False):
     nwords = len(words)
     # A is derived from the words' real length, not 2**sweep.L: only the
     # block span (j_lo + g bits) must divide the total. Direction bits
@@ -403,7 +423,7 @@ def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool):
     # i64, which Mosaic's index-map lowering rejects
     zero = np.int32(0)
     spec = pl.BlockSpec(block, lambda a, b: (a, zero, b, zero, zero))
-    kernel = make_sweep_kernel(sweep, nwords, ncmp)
+    kernel = make_sweep_kernel(sweep, nwords, ncmp, tie_safe)
     shaped = [w.reshape(view) for w in words]
     from jax.experimental.pallas import tpu as pltpu
     params = None if interpret else pltpu.CompilerParams(
@@ -641,7 +661,8 @@ def check_word_contract(cmp_words: list, carry_words: list):
 
 def sort_words(cmp_words: list, carry_words: list,
                *, interpret: bool | None = None,
-               tuning: EngineTuning | None = None):
+               tuning: EngineTuning | None = None,
+               allow_tied_carries: bool = False):
     """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
 
     Returns (cmp_words, carry_words) reordered. Input words must share length.
@@ -651,6 +672,13 @@ def sort_words(cmp_words: list, carry_words: list,
     in every word (e.g. empty). The network swaps ties freely — violating
     the contract silently places carries of tied tuples nondeterministically
     (:func:`check_word_contract` is the debug validator).
+
+    ``allow_tied_carries=True`` lifts the contract: duplicate cmp tuples
+    with distinct carries sort as a permutation with UNSPECIFIED tie order
+    (unstable sort; tie-consistent kernels, one extra lex chain on roll
+    substages). Only valid pad-free — n a power of two >= 2**MIN_L — since
+    an all-ones real tuple would tie the pad sentinels and could be
+    truncated in their place (raises otherwise).
 
     interpret=None auto-selects: compiled kernels on TPU, the Pallas
     interpreter elsewhere. tuning=None reads the THRS_* env knobs at call
@@ -662,8 +690,13 @@ def sort_words(cmp_words: list, carry_words: list,
     n = cmp_words[0].shape[0]
     if n <= 1:
         return cmp_words, carry_words
-    if (tuning.partition_bits > 0 and n >= tuning.partition_min_n
-            and n < (1 << 31)):
+    tie_safe = bool(allow_tied_carries and carry_words)
+    if tie_safe and (n & (n - 1) or n < (1 << MIN_L)):
+        raise ValueError(
+            f"allow_tied_carries needs pad-free n (power of two >= "
+            f"{1 << MIN_L}), got {n}")
+    if (not tie_safe and tuning.partition_bits > 0
+            and n >= tuning.partition_min_n and n < (1 << 31)):
         from . import partition_engine
 
         return partition_engine.sort_words_partition(
@@ -681,7 +714,8 @@ def sort_words(cmp_words: list, carry_words: list,
     n_pad = 1 << L_full
     words = [common.pad_to_multiple(w, n_pad, jnp.uint32(0xFFFFFFFF)) for w in cmp_words]
     words += [common.pad_to_multiple(w, n_pad, jnp.uint32(0)) for w in carry_words]
-    words = _run_network(words, ncmp, L_full, None, interpret, tuning=tuning)
+    words = _run_network(words, ncmp, L_full, None, interpret, tuning=tuning,
+                         tie_safe=tie_safe)
     words = [w[:n] for w in words]
     return words[:ncmp], words[ncmp:]
 
@@ -689,7 +723,8 @@ def sort_words(cmp_words: list, carry_words: list,
 def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
                  forced_asc: int | None = None,
                  tuning: EngineTuning | None = None,
-                 tile_bits: int | None = None):
+                 tile_bits: int | None = None,
+                 tie_safe: bool = False):
     """Run the (sub)network given by ``stages`` on the words.
 
     ``L`` is the network's index-bit span (stage/direction bits). The word
@@ -741,7 +776,7 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
         if parts and is_local_T(parts[-1]) and can_fuse(rot):
             parts[-1] = _dc_replace(parts[-1], rot_out=rot)
     for part in parts:
-        words = run_sweep(words, part, ncmp, interpret)
+        words = run_sweep(words, part, ncmp, interpret, tie_safe)
     if rot and not (parts and parts[-1].rot_out):
         words = [_rotate_storage(w, T, rot) for w in words]
     return words
@@ -796,7 +831,8 @@ def _pad_rows(w, B: int, nr: int, r: int, b_pad: int, fill):
 
 def sort_words_rows(cmp_words: list, carry_words: list, shape,
                     *, interpret: bool | None = None,
-                    tuning: EngineTuning | None = None):
+                    tuning: EngineTuning | None = None,
+                    allow_tied_carries: bool = False):
     """Row-wise :func:`sort_words`: each of the ``B`` rows of the row-major
     flat words (``shape = (B, nr)``, word length ``B*nr``) is sorted
     independently by lexicographic unsigned cmp order.
@@ -817,6 +853,13 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     ncmp = len(cmp_words)
     nwords = ncmp + len(carry_words)
     r = _ceil_log2(nr)
+    tie_safe = bool(allow_tied_carries and carry_words)
+    if tie_safe and nr != (1 << r):
+        # batch sentinel ROWS are safe (rows never interact); in-row
+        # sentinel padding is not — an all-ones real tuple could be
+        # truncated in a pad's place
+        raise ValueError(
+            f"allow_tied_carries needs power-of-two rows, got {nr}")
     tuning = _tuning_or_env(tuning)
     T, b_pad = _row_plan(B, r, nwords, tuning)
     words = [_pad_rows(w, B, nr, r, b_pad, jnp.uint32(0xFFFFFFFF))
@@ -824,7 +867,8 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
     words += [_pad_rows(w, B, nr, r, b_pad, jnp.uint32(0))
               for w in carry_words]
     words = _run_network(words, ncmp, max(T, r), range(1, r + 1), interpret,
-                         forced_asc=r, tuning=tuning, tile_bits=T)
+                         forced_asc=r, tuning=tuning, tile_bits=T,
+                         tie_safe=tie_safe)
     words = [w.reshape(b_pad, 1 << r)[:B, :nr].reshape(-1) for w in words]
     return words[:ncmp], words[ncmp:]
 

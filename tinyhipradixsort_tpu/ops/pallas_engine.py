@@ -45,7 +45,7 @@ def sort_arrays_pallas(bits, arrays, start_bit, end_bit, *,
 
 def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
                    interpret=None, zeros_exact=True, seg_bits=None,
-                   tuning=None):
+                   tuning=None, stable=True):
     """Full-semantics sort returning outputs per ``want`` with minimal words.
 
     ``want``: subset tuple of ("keys", "values", "indices"); ``values`` is a
@@ -95,7 +95,17 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
     need_keys_carry = ("keys" in want) and not keys_from_bits
     need_vals = "values" in want
     need_idx_out = "indices" in want
-    stable_needed = need_vals or need_idx_out or need_keys_carry or tag_zero
+    # stable=False drops the stability index word (u32+u32 pairs: 3 -> 2
+    # words, u64+u64: 5 -> 4) and runs tie-consistent kernels instead —
+    # only when the engine introduces no sentinel padding (an all-ones real
+    # tuple would tie the pads and could be truncated in their place):
+    # per-row length a power of two, and for the flat path n >= 2**MIN_L.
+    pad_free = (n & (n - 1)) == 0 and (
+        batched or n >= (1 << bitonic_engine.MIN_L))
+    stable_needed = (need_idx_out or tag_zero
+                     or ((need_vals or need_keys_carry)
+                         and (stable or not pad_free)))
+    allow_ties = (not stable_needed) and (need_vals or need_keys_carry)
     pack_bits = 0
     if n > 1:
         if stable_needed:
@@ -139,10 +149,11 @@ def sort_semantics(keys, values, *, descending, start_bit, end_bit, want,
         if batched:
             cmp_out, carry_out = bitonic_engine.sort_words_rows(
                 cmp_words, carry_words, (rows, n), interpret=interpret,
-                tuning=tuning)
+                tuning=tuning, allow_tied_carries=allow_ties)
         else:
             cmp_out, carry_out = bitonic_engine.sort_words(
-                cmp_words, carry_words, interpret=interpret, tuning=tuning)
+                cmp_words, carry_words, interpret=interpret, tuning=tuning,
+                allow_tied_carries=allow_ties)
     else:
         cmp_out, carry_out, recipes = cmp_words, None, None
 

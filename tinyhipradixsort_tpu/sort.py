@@ -100,10 +100,10 @@ def _sort_arrays(bits, arrays, start_bit, end_bit, method, tuning=None):
 @functools.partial(
     jax.jit,
     static_argnames=("descending", "start_bit", "end_bit", "method", "want",
-                     "zeros_exact", "tuning"),
+                     "zeros_exact", "tuning", "stable"),
 )
 def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
-                zeros_exact=True, segment_ids=None, tuning=None):
+                zeros_exact=True, segment_ids=None, tuning=None, stable=True):
     """want: subset of {'keys','values','indices'} controlling outputs."""
     n = keys.shape[0]
     leaves, treedef = [], None
@@ -124,7 +124,7 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
         out = pallas_engine.sort_semantics(
             keys, leaves, descending=descending, start_bit=start_bit,
             end_bit=end_bit, want=want, zeros_exact=zeros_exact,
-            seg_bits=seg_bits, tuning=tuning)
+            seg_bits=seg_bits, tuning=tuning, stable=stable)
         result = []
         pos = 0
         if "keys" in want:
@@ -209,7 +209,7 @@ def _sort_entry(keys, values, *, descending, start_bit, end_bit, method, want,
 _sort_entry_donated = jax.jit(
     _sort_entry.__wrapped__,
     static_argnames=("descending", "start_bit", "end_bit", "method", "want",
-                     "zeros_exact", "tuning"),
+                     "zeros_exact", "tuning", "stable"),
     donate_argnums=(0, 1),
 )
 
@@ -298,7 +298,7 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
 
 
 def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
-               method="auto", segment_ids=None, donate=False):
+               method="auto", segment_ids=None, donate=False, stable=True):
     """Stable key-value sort; returns ``(sorted_keys, reordered_values)``.
 
     ``values`` may be a single array or a pytree of arrays sharing the keys'
@@ -306,6 +306,14 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
     4/8/16-byte payloads; u128 payloads map to shape ``(n, 4)`` uint32).
     2-D keys sort each row independently; value leaves then share the
     leading ``(B, n)`` axes.
+
+    ``stable=False`` permits (does not require) arbitrary order among
+    equal keys — a TPU-native fast path with no reference analogue (the
+    reference's radix sort is inherently stable): the Pallas engine drops
+    the stability index word when the size is pad-free (per-row length a
+    power of two; flat n >= 1024), cutting u32+u32 pairs from 3 to 2 moved
+    words and u64+u64 from 5 to 4. Other sizes and the portable engines
+    simply stay stable.
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
@@ -315,7 +323,7 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
         method=method, want=("keys", "values"),
         segment_ids=_prep_segments(segment_ids, keys),
-        tuning=EngineTuning.from_env(),
+        tuning=EngineTuning.from_env(), stable=stable,
     )
     return out_keys, out_values
 
