@@ -182,3 +182,44 @@ def test_pairs_unstable_drops_index_word(monkeypatch):
         thrs.sort_pairs(jnp.asarray(keys), jnp.asarray(values),
                         method="pallas", stable=True)
         assert seen == {"ncmp": 2, "allow": False}
+
+
+def test_pairs_unstable_f32_zeros_exact_false():
+    """Float pairs shed the index word only with zeros_exact=False (the
+    -0.0 tag rides it): keys come back zero-normalized, pair multiset
+    preserved up to that normalization."""
+    n = 2048
+    keys = np.random.default_rng(11).standard_normal(n).astype(np.float32)
+    keys[:64] = -0.0
+    keys[64:128] = 0.0
+    values = np.arange(n, dtype=np.uint32)
+    k, v = thrs.sort_pairs(jnp.asarray(keys), jnp.asarray(values),
+                           method="pallas", stable=False, zeros_exact=False)
+    k = np.asarray(k)
+    assert not np.any(np.signbit(k[k == 0.0])), "-0.0 must normalize"
+    norm = keys.copy()
+    norm[norm == 0.0] = 0.0  # collapse -0.0
+    _check_unstable(norm, values, k, np.asarray(v))
+
+
+def test_pairs_unstable_f32_drops_index_word(monkeypatch):
+    from tinyhipradixsort_tpu.ops import bitonic_engine as be
+
+    seen = {}
+    real = be.sort_words
+
+    def spy(cmp_words, carry_words, **kw):
+        seen["ncmp"] = len(cmp_words)
+        return real(cmp_words, carry_words, **kw)
+
+    monkeypatch.setattr(be, "sort_words", spy)
+    n = 1024
+    keys = np.linspace(-1, 1, n).astype(np.float32)
+    values = np.arange(n, dtype=np.uint32)
+    with jax.disable_jit():
+        thrs.sort_pairs(jnp.asarray(keys), jnp.asarray(values),
+                        method="pallas", stable=False, zeros_exact=False)
+        assert seen["ncmp"] == 1
+        thrs.sort_pairs(jnp.asarray(keys), jnp.asarray(values),
+                        method="pallas", stable=False)  # tag keeps the word
+        assert seen["ncmp"] == 2

@@ -298,7 +298,8 @@ def sort_keys(keys, *, order="ascending", start_bit=0, end_bit=None,
 
 
 def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
-               method="auto", segment_ids=None, donate=False, stable=True):
+               method="auto", segment_ids=None, donate=False, stable=True,
+               zeros_exact=True):
     """Stable key-value sort; returns ``(sorted_keys, reordered_values)``.
 
     ``values`` may be a single array or a pytree of arrays sharing the keys'
@@ -314,6 +315,12 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
     power of two; flat n >= 1024), cutting u32+u32 pairs from 3 to 2 moved
     words and u64+u64 from 5 to 4. Other sizes and the portable engines
     simply stay stable.
+
+    ``zeros_exact`` has :func:`sort_keys` semantics (float keys only). It
+    matters here because the ``-0.0`` tag rides the stability index word:
+    float-key pairs with ``stable=False`` only shed that word when
+    ``zeros_exact=False`` too (every ``-0.0`` key then returns ``+0.0``;
+    payload order among the zeros is already free under unstable).
     """
     keys, descending, start_bit, end_bit = _prep(keys, order, start_bit, end_bit)
     method = _resolve_method(method)
@@ -321,7 +328,7 @@ def sort_pairs(keys, values, *, order="ascending", start_bit=0, end_bit=None,
     entry = _sort_entry_donated if donate else _sort_entry
     out_keys, out_values = entry(
         keys, values, descending=descending, start_bit=start_bit, end_bit=end_bit,
-        method=method, want=("keys", "values"),
+        method=method, want=("keys", "values"), zeros_exact=zeros_exact,
         segment_ids=_prep_segments(segment_ids, keys),
         tuning=EngineTuning.from_env(), stable=stable,
     )
