@@ -201,6 +201,137 @@ def test_psort_non_pow2_mesh(ndev):
         np.testing.assert_array_equal(got, np.sort(x))
 
 
+def test_psort_keys_only_sheds_index_wire(mesh):
+    """Keys-only sorts must not ship the global-index word(s) (VERDICT r3
+    #1): the index is synthesized in-shard after the deterministic stride
+    pre-exchange and dropped before the ring exchange. Structural check on
+    the lowered HLO: psort_keys runs one collective-permute per ring round
+    per *bits* word only, while psort_indices (which must output the index)
+    runs one per bits+index word — at P=8, R=4 the difference is at least
+    (P-1) ring + 2R rebalance permutes, and one fewer pre-exchange
+    all_to_all."""
+    n = 1 << 15
+    P = 8
+
+    def count(fn):
+        text = jax.jit(lambda k: fn(k, mesh=mesh, check=True)).lower(
+            jax.ShapeDtypeStruct((n,), jnp.uint32)).as_text()
+        return (text.count("collective-permute") + text.count(
+            "collective_permute"), text.count("all-to-all") + text.count(
+            "all_to_all"))
+
+    cp_keys, a2a_keys = count(psort_keys)
+    cp_idx, a2a_idx = count(psort_indices)
+    assert cp_idx - cp_keys >= (P - 1) + 2 * min(P - 1, 4), (cp_keys, cp_idx)
+    assert a2a_idx > a2a_keys, (a2a_keys, a2a_idx)
+
+
+def test_psort_keys_only_sentinel_collision(mesh):
+    # With the index word dropped from the exchange, real keys whose bits
+    # equal the sentinel (0xFFFFFFFF ascending / 0 descending) intermix
+    # with buffer padding during merges — harmless because the words are
+    # identical, but this is the exact case that would corrupt if any
+    # downstream count were sentinel-scanned. Heavy max-keys + entry pads
+    # (n not a multiple of the pad quantum), both index widths.
+    n = 100001
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    x[RNG.random(n) < 0.05] = 0xFFFFFFFF
+    for wide in (False, True):
+        got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh,
+                                    _force_wide=wide))
+        np.testing.assert_array_equal(got, np.sort(x))
+    x[RNG.random(n) < 0.05] = 0  # descending: 0 complements to all-ones
+    got = np.asarray(psort_keys(jnp.asarray(x), mesh=mesh,
+                                order="descending"))
+    np.testing.assert_array_equal(got, np.sort(x)[::-1])
+
+
+def test_psort_keys_only_constant_no_overflow(mesh):
+    # the synthesized index tie-break is load-bearing: without it a
+    # constant-key input puts the whole array in one splitter segment
+    x = np.full(65536, 0xDEAD, dtype=np.uint32)
+    got, overflow = psort_keys(jnp.asarray(x), mesh=mesh, check=True)
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(got), x)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_psort_bit_window_keys_pairs(mesh, descending):
+    """Distributed start_bit/end_bit mirror of test_startbits.py (reference
+    unittest.cpp:248-355 / hpp:845-852): random byte window over u64 keys,
+    both orders, keys-only + pairs, stability via sequential payload.
+    Window sorts can't rebuild keys from cmp bits, so the keys ride as
+    carry words and the index word stays on the wire."""
+    order = "descending" if descending else "ascending"
+    rng = np.random.default_rng(77 + descending)
+    for start in (0, 24, 56):
+        end = start + 8
+        n = 20000
+        keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        values = np.arange(n, dtype=np.uint32)
+        ks, vs = psort_pairs(jnp.asarray(keys), jnp.asarray(values),
+                             mesh=mesh, order=order,
+                             start_bit=start, end_bit=end)
+        p = oracles.oracle_perm(keys, descending=descending,
+                                start_bit=start, end_bit=end)
+        np.testing.assert_array_equal(np.asarray(ks), keys[p],
+                                      err_msg=f"window [{start},{end})")
+        np.testing.assert_array_equal(np.asarray(vs), values[p])
+        ko = psort_keys(jnp.asarray(keys), mesh=mesh, order=order,
+                        start_bit=start, end_bit=end)
+        np.testing.assert_array_equal(np.asarray(ko), keys[p])
+
+
+def test_psort_bit_window_non_byte_aligned(mesh):
+    # beyond-reference: any window (the reference asserts %8==0)
+    keys = RNG.integers(0, 2**32, size=15000, dtype=np.uint32)
+    got = np.asarray(psort_keys(jnp.asarray(keys), mesh=mesh,
+                                start_bit=3, end_bit=17))
+    np.testing.assert_array_equal(got, oracles.oracle_sort_keys(
+        keys, start_bit=3, end_bit=17))
+
+
+def test_psort_pairs_zeros_exact(mesh):
+    # psort_pairs zeros_exact: False rebuilds keys from bits (-0.0 -> +0.0,
+    # one less carry word on the wire); True returns keys bit-exactly.
+    # Payload stability must hold either way.
+    n = 12000
+    x = RNG.standard_normal(n).astype(np.float32)
+    x[RNG.random(n) < 0.1] = 0.0
+    x[RNG.random(n) < 0.1] = -0.0
+    v = np.arange(n, dtype=np.uint32)
+    p = np.argsort(x, kind="stable")
+    k1, v1 = psort_pairs(jnp.asarray(x), jnp.asarray(v), mesh=mesh,
+                         zeros_exact=True)
+    np.testing.assert_array_equal(np.asarray(k1).view(np.uint32),
+                                  x[p].view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(v1), v[p])
+    k0, v0 = psort_pairs(jnp.asarray(x), jnp.asarray(v), mesh=mesh,
+                         zeros_exact=False)
+    norm = x[p].copy()
+    norm[norm == 0.0] = 0.0  # -0.0 normalized to +0.0
+    np.testing.assert_array_equal(np.asarray(k0).view(np.uint32),
+                                  norm.view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(v0), v[p])
+
+
+def test_psort_donate(mesh):
+    # donate=True reuses the caller's sharded buffers (reference
+    # result-replaces-input, hpp:936-943); output must be unchanged
+    n = 30000
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    kd = psort_keys(jnp.asarray(x), mesh=mesh, donate=True)
+    np.testing.assert_array_equal(np.asarray(kd), np.sort(x))
+    p = np.argsort(x, kind="stable")
+    k2, v2 = psort_pairs(jnp.asarray(x), jnp.asarray(v), mesh=mesh,
+                         donate=True)
+    np.testing.assert_array_equal(np.asarray(k2), x[p])
+    np.testing.assert_array_equal(np.asarray(v2), v[p])
+    perm = psort_indices(jnp.asarray(x), mesh=mesh, donate=True)
+    np.testing.assert_array_equal(np.asarray(perm), p)
+
+
 @pytest.mark.full
 def test_psort_pallas_big_shard_merges():
     """Regression (r3): psort's fold-tree merges on shards past the tile

@@ -11,9 +11,13 @@ static shapes throughout:
    constant, or Zipf-skewed keys — the static-capacity analogue of a ragged
    all_to_all.
 1. **Local sort** of the shard (Pallas bitonic engine on TPU,
-   ``jnp.lexsort`` elsewhere). The compare tuple always ends with the
-   original global index word, so local sorts are stable and all tuples are
-   globally distinct.
+   ``jnp.lexsort`` elsewhere). The compare tuple ends with the original
+   global index word, so local sorts are stable and all tuples are
+   globally distinct. For keys-only sorts whose output is rebuilt from the
+   key bits, the index word(s) are *local-only*: synthesized after the
+   (deterministic) stride pre-exchange from ``iota`` + ``axis_index`` and
+   dropped again before the ring exchange, so they never touch the wire
+   (``idx_synth`` — 3x exchange-wire cut in the wide-index regime).
 2. **Splitters**: each chip all_gathers ``s`` evenly spaced sample tuples
    from its sorted shard (``s = oversample*P``, budget-capped in auto mode
    so the replicated ``P*s`` sample never exceeds ``_SAMPLE_BUDGET``
@@ -163,6 +167,33 @@ def _a2a(x):
     return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
 
 
+def _synth_index_words(B: int, P_: int, me, n: int, n_idx: int):
+    """Global-index word(s) of the post-pre-exchange local shard, built
+    locally from ``iota`` + ``axis_index`` — zero wire cost.
+
+    The stride pre-exchange is a *deterministic* permutation: local slot
+    ``p = i*sub + t`` on chip ``me`` (sub = B/P) holds the element that chip
+    ``i`` held at local offset ``me*sub + t``, i.e. global position
+    ``i*B + me*sub + t``. Entry pads (global position >= n) get all-ones
+    index words so they sort to the local tail exactly as entry-materialized
+    index words would (pad detection + clipped cuts rely on this).
+    """
+    sub = B // P_
+    if n_idx == 2:
+        pos = jax.lax.iota(jnp.uint64, B)
+        sub64 = jnp.uint64(sub)
+        g = ((pos // sub64) * jnp.uint64(B) + me.astype(jnp.uint64) * sub64
+             + pos % sub64)
+        pad = g >= jnp.uint64(n)
+        hi, lo = bitonic_engine.split_u64(g)
+        return [jnp.where(pad, SENTINEL, hi), jnp.where(pad, SENTINEL, lo)]
+    pos = jax.lax.iota(jnp.uint32, B)
+    sub32 = jnp.uint32(sub)
+    g = ((pos // sub32) * jnp.uint32(B) + me.astype(jnp.uint32) * sub32
+         + pos % sub32)
+    return [jnp.where(g >= jnp.uint32(n), SENTINEL, g)]
+
+
 # ---------------------------------------------------------------------------
 # the shard-local pipeline
 # ---------------------------------------------------------------------------
@@ -237,25 +268,39 @@ def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method,
 
 
 def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
-                 n_idx=1, tuning=None):
+                 n_idx=1, idx_synth=None, tuning=None):
     """Runs inside shard_map; all words are (B,) u32 local shards.
 
-    The last cmp word must be the original global index (distinct tuples).
+    The last cmp word must be the original global index (distinct tuples) —
+    unless ``idx_synth`` is set (the keys-only fast path): then the entry
+    never materialized index words, the pre-exchange ships key bits only,
+    ``n_idx`` index word(s) are synthesized here from iota + axis_index
+    (``_synth_index_words``), used for the stable local sort / tie-broken
+    splitter cuts / pad detection, and dropped again before the ring
+    exchange — tie-swaps among equal key bits are unobservable when keys
+    are rebuilt from bits, and every downstream count is length-tracked,
+    never sentinel-scanned. This cuts main-exchange + pre-exchange +
+    rebalance wire W-fold (3x for u32 keys at n >= 2**32; VERDICT r3 #1).
+    ``idx_synth`` is the static global real-element count n.
     Returns (cmp_words, carry_words, overflow): exactly B sorted elements
     per chip — chip p holds global sorted ranks [p*B, (p+1)*B).
     """
     me = jax.lax.axis_index(AXIS).astype(jnp.int32)
     B = cmp_words[0].shape[0]
     ncmp = len(cmp_words)
-    nwords = ncmp + len(carry_words)
 
     # 0. stride pre-exchange: sub-block j of every chip -> chip j
     words = [(_a2a(w.reshape(P_, B // P_))).reshape(-1)
              for w in list(cmp_words) + list(carry_words)]
 
+    sort_cmp, sort_carry = words[:ncmp], words[ncmp:]
+    if idx_synth is not None:
+        sort_cmp = sort_cmp + _synth_index_words(B, P_, me, idx_synth, n_idx)
+    ncmp_s = len(sort_cmp)  # cmp width during local sort/splitters/cuts
+
     # 1. local stable sort
     cmp_words, carry_words = _local_sort_words(
-        words[:ncmp], words[ncmp:], method, tuning)
+        sort_cmp, sort_carry, method, tuning)
 
     # 2. sample + replicated splitter selection (s per chip, P*s replicated;
     # s is budget-capped by the entry — see _psort_entry)
@@ -275,8 +320,8 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
     # falsely trip the capacity check at small n — so clip every cut to the
     # real-element count and never ship a pad: receivers re-synthesize
     # sentinel fill for free.
-    pad_mask = cmp_words[ncmp - n_idx] == SENTINEL
-    for w in cmp_words[ncmp - n_idx + 1:ncmp]:
+    pad_mask = cmp_words[ncmp_s - n_idx] == SENTINEL
+    for w in cmp_words[ncmp_s - n_idx + 1:ncmp_s]:
         pad_mask &= w == SENTINEL
     nreal = B - jnp.sum(pad_mask.astype(jnp.int32))
     cut = jnp.minimum(_searchsorted_words(cmp_words, splitters), nreal)
@@ -284,6 +329,12 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
                             nreal.reshape(1)])
     seg = cuts[1:] - cuts[:-1]
     overflow = jnp.any(seg > cap)
+    if idx_synth is not None:
+        # drop the synthesized index word(s): from here on only length-
+        # tracked counts matter, and equal-bits tie order is unobservable
+        # in the keys-from-bits output (sentinel fill colliding with real
+        # all-ones key bits is likewise harmless: identical words).
+        cmp_words = cmp_words[:ncmp]
 
     # 4+5. main exchange and merge, fused as a ring with overlapped merges
     # (see _ring_exchange_merge)
@@ -448,12 +499,17 @@ def _consume_overflow(out, check):
 _SAMPLE_BUDGET = 1 << 23
 
 
-@functools.partial(jax.jit, static_argnames=(
+_PSORT_STATIC = (
     "mesh", "descending", "method", "oversample", "slack", "want", "check",
-    "zeros_exact", "tuning", "_unsafe_cap", "_force_wide"))
+    "zeros_exact", "start_bit", "end_bit", "tuning", "_unsafe_cap",
+    "_force_wide")
+
+
+@functools.partial(jax.jit, static_argnames=_PSORT_STATIC)
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
-                 slack, want, check, zeros_exact=True, tuning=None,
-                 _unsafe_cap=None, _force_wide=False):
+                 slack, want, check, zeros_exact=True, start_bit=0,
+                 end_bit=None, tuning=None, _unsafe_cap=None,
+                 _force_wide=False):
     P_ = mesh.shape[AXIS]
     auto_oversample = oversample is None
     if auto_oversample:
@@ -486,22 +542,42 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
 
     bits = keybits.key_bits(keys, descending=descending)
     dtype = np.dtype(keys.dtype)
-    cmp_words = bitonic_engine.bits_to_cmp_words(bits, 0, dtype.itemsize * 8)
+    # bit-window sorts (reference hpp:845-852 startBit/endBit): compare
+    # only [start_bit, end_bit) of the transformed key bits; equal window
+    # bits preserve input order (the index tie-break IS the stability
+    # contract, mirroring tests/test_startbits.py's single-chip contract)
+    width = dtype.itemsize * 8
+    start_bit = 0 if start_bit is None else start_bit
+    end_bit = width if end_bit is None else end_bit
+    full_window = (start_bit, end_bit) == (0, width)
+    cmp_words = bitonic_engine.bits_to_cmp_words(bits, start_bit, end_bit)
     cmp_words = [_pad_global(w, n_pad, SENTINEL) for w in cmp_words]
-    # global-index word(s): stability tie-break, splitter balance, and the
-    # indices output all in one (pad indices sort to the global tail)
-    if wide_index:
-        gi_hi, gi_lo = split_index64(n)
-        cmp_words.append(_pad_global(gi_hi, n_pad, SENTINEL))
-        cmp_words.append(_pad_global(gi_lo, n_pad, SENTINEL))
-    else:
-        cmp_words.append(_pad_global(jnp.arange(n, dtype=jnp.uint32), n_pad,
-                                     SENTINEL))
-    ncmp = len(cmp_words)
 
     kkind = keybits.dtype_kind(dtype)
-    keys_from_bits = (kkind in "iu"
-                      or (kkind == "f" and not zeros_exact))
+    # a window hides key bits -> keys can't be rebuilt from the cmp words;
+    # they must ride as carry (and the index word stays on the wire)
+    keys_from_bits = full_window and (kkind in "iu"
+                                      or (kkind == "f" and not zeros_exact))
+    # keys-only + keys-rebuilt-from-bits: the global index is needed only
+    # *locally* (stable local sort, tie-broken splitter cuts, pad
+    # detection) — never in the output and never to pair up carry words.
+    # Synthesize it inside the shard after the (deterministic) stride
+    # pre-exchange and drop it before the ring exchange: the index word(s)
+    # never touch the wire, cutting exchange bytes 2x (narrow) / 3x (wide,
+    # the n >= 2**32 BASELINE regime). See _psort_shard / VERDICT r3 #1.
+    idx_local = keys_from_bits and want == ("keys",)
+    # global-index word(s): stability tie-break, splitter balance, and the
+    # indices output all in one (pad indices sort to the global tail)
+    if not idx_local:
+        if wide_index:
+            gi_hi, gi_lo = split_index64(n)
+            cmp_words.append(_pad_global(gi_hi, n_pad, SENTINEL))
+            cmp_words.append(_pad_global(gi_lo, n_pad, SENTINEL))
+        else:
+            cmp_words.append(_pad_global(jnp.arange(n, dtype=jnp.uint32),
+                                         n_pad, SENTINEL))
+    ncmp = len(cmp_words)
+
     need_keys_carry = ("keys" in want) and not keys_from_bits
 
     carry_words, recipes = [], []
@@ -544,7 +620,8 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     shard = functools.partial(
         _psort_shard, P_=P_, cap=cap, cap3=cap3,
         method=_resolve_local_method(method), sample_s=s,
-        n_idx=2 if wide_index else 1, tuning=tuning)
+        n_idx=2 if wide_index else 1, idx_synth=n if idx_local else None,
+        tuning=tuning)
     spec_w = P(AXIS)
     fn = jax.shard_map(
         lambda c, k: shard(c, k),
@@ -593,8 +670,24 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     return tuple(result)
 
 
+# donating variant: the caller's sharded key/value buffers are reused in
+# place — the functional spelling of the reference's result-replaces-input
+# contract (hpp:936-943), same as sort.py's _sort_entry_donated. At the
+# BASELINE 4-host point (15 GB of 16 GB HBM per chip) donation is the
+# difference between OOM and working, as measured single-chip at n = 2**30.
+_psort_entry_donated = jax.jit(
+    _psort_entry.__wrapped__, static_argnames=_PSORT_STATIC,
+    donate_argnums=(0, 1))
+
+
+def _psort_window(keys, start_bit, end_bit):
+    from ..ops import common
+    return common.resolve_window(keys.dtype, start_bit, end_bit)
+
+
 def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
-               oversample=None, slack=1.5, check=False, zeros_exact=True,
+               start_bit=0, end_bit=None, oversample=None, slack=1.5,
+               check=False, zeros_exact=True, donate=False,
                _unsafe_cap=None, _force_wide=False):
     """Globally sorted keys over the mesh axis; same global shape as input.
 
@@ -603,47 +696,78 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
     overflow flag (True means a splitter segment exceeded the static
     capacity and elements were dropped — raise ``slack``/``oversample``
     and retry).
+
+    ``start_bit``/``end_bit`` sort by the bit window [start_bit, end_bit)
+    of the transformed key bits with input order preserved among equal
+    window bits (reference hpp:845-852; same contract as
+    :func:`..sort.sort_keys`). ``donate=True`` reuses the input buffers in
+    place (they become invalid) — required headroom at the tight BASELINE
+    memory points. ``zeros_exact=False`` lets float keys rebuild from bits
+    (every -0.0 returns +0.0), which also sheds the index word from the
+    exchange wire (the keys-only W=1 fast path).
     """
     mesh = mesh or make_sort_mesh()
     keys = jnp.asarray(keys)
     descending = SortOrder.parse(order).descending
-    out = _psort_entry(keys, (), mesh=mesh, descending=descending,
-                       method=method, oversample=oversample, slack=slack,
-                       want=("keys",), check=check, zeros_exact=zeros_exact,
-                       tuning=bitonic_engine.EngineTuning.from_env(),
-                       _unsafe_cap=_unsafe_cap, _force_wide=_force_wide)
+    start_bit, end_bit = _psort_window(keys, start_bit, end_bit)
+    entry = _psort_entry_donated if donate else _psort_entry
+    out = entry(keys, (), mesh=mesh, descending=descending,
+                method=method, oversample=oversample, slack=slack,
+                want=("keys",), check=check, zeros_exact=zeros_exact,
+                start_bit=start_bit, end_bit=end_bit,
+                tuning=bitonic_engine.EngineTuning.from_env(),
+                _unsafe_cap=_unsafe_cap, _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     return out if check else out[0]
 
 
 def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
-                oversample=None, slack=1.5, check=False, _force_wide=False):
-    """Distributed stable key-value sort; values may be a pytree."""
+                start_bit=0, end_bit=None, oversample=None, slack=1.5,
+                check=False, zeros_exact=True, donate=False,
+                _force_wide=False):
+    """Distributed stable key-value sort; values may be a pytree.
+
+    ``start_bit``/``end_bit``/``donate``/``zeros_exact`` have
+    :func:`psort_keys` semantics (``zeros_exact`` only affects whether the
+    returned *keys* normalize -0.0 to +0.0; payloads always pair exactly —
+    the index word stays on the wire for pairs either way).
+    """
     mesh = mesh or make_sort_mesh()
     keys = jnp.asarray(keys)
     values = jax.tree.map(jnp.asarray, values)
     leaves, treedef = jax.tree.flatten(values)
     descending = SortOrder.parse(order).descending
-    out = _psort_entry(keys, tuple(leaves), mesh=mesh, descending=descending,
-                       method=method, oversample=oversample, slack=slack,
-                       want=("keys", "values"), check=check,
-                       tuning=bitonic_engine.EngineTuning.from_env(),
-                       _force_wide=_force_wide)
+    start_bit, end_bit = _psort_window(keys, start_bit, end_bit)
+    entry = _psort_entry_donated if donate else _psort_entry
+    out = entry(keys, tuple(leaves), mesh=mesh, descending=descending,
+                method=method, oversample=oversample, slack=slack,
+                want=("keys", "values"), check=check,
+                zeros_exact=zeros_exact, start_bit=start_bit,
+                end_bit=end_bit,
+                tuning=bitonic_engine.EngineTuning.from_env(),
+                _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     k, v = out[0], jax.tree.unflatten(treedef, out[1])
     return (k, v, out[2]) if check else (k, v)
 
 
 def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
-                  oversample=None, slack=1.5, check=False, _force_wide=False):
-    """Distributed stable argsort (global permutation, sharded)."""
+                  start_bit=0, end_bit=None, oversample=None, slack=1.5,
+                  check=False, donate=False, _force_wide=False):
+    """Distributed stable argsort (global permutation, sharded).
+
+    ``start_bit``/``end_bit``/``donate`` have :func:`psort_keys` semantics.
+    """
     mesh = mesh or make_sort_mesh()
     keys = jnp.asarray(keys)
     descending = SortOrder.parse(order).descending
-    out = _psort_entry(keys, (), mesh=mesh, descending=descending,
-                       method=method, oversample=oversample, slack=slack,
-                       want=("indices",), check=check,
-                       tuning=bitonic_engine.EngineTuning.from_env(),
-                       _force_wide=_force_wide)
+    start_bit, end_bit = _psort_window(keys, start_bit, end_bit)
+    entry = _psort_entry_donated if donate else _psort_entry
+    out = entry(keys, (), mesh=mesh, descending=descending,
+                method=method, oversample=oversample, slack=slack,
+                want=("indices",), check=check, start_bit=start_bit,
+                end_bit=end_bit,
+                tuning=bitonic_engine.EngineTuning.from_env(),
+                _force_wide=_force_wide)
     out = _consume_overflow(out, check)
     return out if check else out[0]

@@ -52,8 +52,11 @@ def capacities(B: int, P: int, oversample: int | None, slack: float):
 
 def phase_bytes(B: int, P: int, W: int, Wc: int, *, oversample=None,
                 slack=1.5):
-    """Per-chip egress bytes per phase. W = total u32 words moved,
-    Wc = cmp words (samples/splitters move only these)."""
+    """Per-chip egress bytes per phase. W = u32 words on the exchange wire
+    (keys-only sorts ship ONLY the key-bits words — the global-index
+    tie-break words are synthesized in-shard and dropped before the
+    exchange, psort._synth_index_words), Wc = cmp words in the sample
+    all_gather (bits + index: splitter tie-breaks need the index)."""
     cap, cap3, s, oversample = capacities(B, P, oversample, slack)
     f = (P - 1) / P  # fraction leaving the chip in an all_to_all
     return {
@@ -71,23 +74,29 @@ def phase_bytes(B: int, P: int, W: int, Wc: int, *, oversample=None,
 
 
 def predict(n: int, P: int, W: int, Wc: int, *, chip_rate: float,
-            bw_per_chip: float, oversample=None, slack=1.5):
+            bw_per_chip: float, W_sort: int | None = None, oversample=None,
+            slack=1.5):
     """Weak-scaling efficiency: T_1 / T_P for fixed per-chip B = n/P.
 
     chip_rate: local sort throughput in (elements * words)/s per chip for
     this word count (measured single-chip numbers / W).
     bw_per_chip: usable all_to_all egress bandwidth per chip (bytes/s) —
     ICI within a slice; min(ICI, DCN_share) when DCN is in the path.
+    W_sort: words in the *local sort* tuple (defaults to W). Keys-only
+    sorts still sort bits+index locally (W_sort=3 at n >= 2**32) while
+    exchanging only the bits (W=1).
     """
     B = n // P
+    W_sort = W if W_sort is None else W_sort
     ph = phase_bytes(B, P, W, Wc, oversample=oversample, slack=slack)
     wire = (ph["pre_exchange"] + ph["sample_all_gather"]
             + ph["main_exchange_wire"] + ph["rebalance_wire"] + ph["counts"])
     t_comm = wire / bw_per_chip
-    # local compute: sort B (W words) + merge trees ~ (1 + 2*log2 P) single
-    # stages ~ small vs the ~L(L+1)/2-substage sort — model as 10% overhead
-    t_local = B * W / chip_rate * 1.10
-    t_1 = B * W / chip_rate
+    # local compute: sort B (W_sort words) + merge trees ~ (1 + 2*log2 P)
+    # single stages ~ small vs the ~L(L+1)/2-substage sort — model as 10%
+    # overhead
+    t_local = B * W_sort / chip_rate * 1.10
+    t_1 = B * W_sort / chip_rate
     eff = t_1 / (t_local + t_comm)
     return {"B": B, "P": P, "t_local_s": t_local, "t_comm_s": t_comm,
             "wire_bytes": wire, "efficiency": eff, **ph}
@@ -104,40 +113,48 @@ def main():
         validate()
         return
 
-    # BASELINE configs[4]: 16B u32 keys. Words: bits(1) + wide index(2) = 3.
-    # chip_rate from measured single-chip numbers (BASELINE.md): 1.18e9
-    # keys/s at W=2-equivalent work... use the measured pairs-per-word
-    # scaling: throughput ~ 2.36e9 elem*words/s (word-linear carry cost).
+    # BASELINE configs[4]: 16B u32 keys. Local tuple: bits(1) + wide
+    # index(2) = 3 words; but keys-only sorts ship ONLY the bits word —
+    # the index is synthesized in-shard and dropped before the exchange
+    # (psort idx_synth, round 4), so W_wire=1 while W_sort=3. The sample
+    # all_gather still carries the full 3-word tuple (tie-broken
+    # splitters). psort_pairs/psort_indices keep the index on the wire.
     n = 16_000_000_000
-    W, Wc = 3, 3
+    W_sort, Wc = 3, 3
     chip_rate = 2.36e9  # (elem*words)/s, from 1.18 Gkeys/s @ W=2
-    print("# 16B u32 keys, v5e — predicted weak-scaling (ICI-only vs DCN)")
-    print("| hosts | chips | B/chip | mem/chip | t_local | t_comm(ICI) "
-          "| eff(ICI) | t_comm(DCN) | eff(DCN) |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for hosts in (4, 8, 16):
-        P = hosts * 8  # v5e host = 8 chips
-        # ICI per chip (v5e: 4 links x ~45 GB/s usable ~ 180 GB/s; a 1-D
-        # all_to_all rides a ring embedding: assume ~90 GB/s effective)
-        ici = 90e9
-        # DCN: ~100 GB/s per host NIC shared by 8 chips, and the all_to_all
-        # fraction crossing hosts is ~(hosts-1)/hosts of traffic -> the
-        # per-chip effective rate for cross-host bytes
-        dcn_per_chip = 100e9 / 8
-        r_ici = predict(n, P, W, Wc, chip_rate=chip_rate, bw_per_chip=ici)
-        cross = (P - 8) / P  # fraction of a2a pairs crossing hosts
-        eff_bw = 1.0 / (cross / dcn_per_chip + (1 - cross) / ici)
-        r_dcn = predict(n, P, W, Wc, chip_rate=chip_rate, bw_per_chip=eff_bw)
-        mem = r_ici["B"] * (W * 4 * 2.5)  # words + exchange buffers (x2.5)
-        print(f"| {hosts} | {P} | {r_ici['B']/1e6:.0f}M "
-              f"| {mem/1e9:.1f} GB "
-              f"| {r_ici['t_local_s']:.2f}s | {r_ici['t_comm_s']:.2f}s "
-              f"| {r_ici['efficiency']*100:.0f}% "
-              f"| {r_dcn['t_comm_s']:.2f}s | {r_dcn['efficiency']*100:.0f}% |")
-    print()
-    print(json.dumps({k: round(v) if isinstance(v, float) else v
-                      for k, v in phase_bytes(
-                          n // 64, 64, W, Wc).items()}))
+    for label, W in (("psort_keys (keys-only, W_wire=1)", 1),
+                     ("psort_pairs/indices-class (W_wire=3)", 3)):
+        print(f"# 16B u32 keys, v5e, {label} — predicted weak-scaling "
+              "(ICI-only vs DCN)")
+        print("| hosts | chips | B/chip | mem/chip | t_local | t_comm(ICI) "
+              "| eff(ICI) | t_comm(DCN) | eff(DCN) |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        for hosts in (4, 8, 16):
+            P = hosts * 8  # v5e host = 8 chips
+            # ICI per chip (v5e: 4 links x ~45 GB/s usable ~ 180 GB/s; a 1-D
+            # all_to_all rides a ring embedding: assume ~90 GB/s effective)
+            ici = 90e9
+            # DCN: ~100 GB/s per host NIC shared by 8 chips, and the
+            # all_to_all fraction crossing hosts is ~(hosts-1)/hosts of
+            # traffic -> the per-chip effective rate for cross-host bytes
+            dcn_per_chip = 100e9 / 8
+            r_ici = predict(n, P, W, Wc, chip_rate=chip_rate,
+                            bw_per_chip=ici, W_sort=W_sort)
+            cross = (P - 8) / P  # fraction of a2a pairs crossing hosts
+            eff_bw = 1.0 / (cross / dcn_per_chip + (1 - cross) / ici)
+            r_dcn = predict(n, P, W, Wc, chip_rate=chip_rate,
+                            bw_per_chip=eff_bw, W_sort=W_sort)
+            mem = r_ici["B"] * (W_sort * 4 * 2.5)  # words + buffers (x2.5)
+            print(f"| {hosts} | {P} | {r_ici['B']/1e6:.0f}M "
+                  f"| {mem/1e9:.1f} GB "
+                  f"| {r_ici['t_local_s']:.2f}s | {r_ici['t_comm_s']:.2f}s "
+                  f"| {r_ici['efficiency']*100:.0f}% "
+                  f"| {r_dcn['t_comm_s']:.2f}s "
+                  f"| {r_dcn['efficiency']*100:.0f}% |")
+        print()
+    print(json.dumps({"keys_only_W1": {
+        k: round(v) if isinstance(v, float) else v
+        for k, v in phase_bytes(n // 64, 64, 1, Wc).items()}}))
 
 
 def validate():
@@ -166,15 +183,19 @@ def validate():
     cp = re.findall(r"collective-permute|collective_permute", text)
     B = n // P
     cap, cap3, s, ov = capacities(B, P, None, 1.5)
-    # W=2 (u32 bits + narrow index); phases 0,4,6b per word + lens (x2)
-    expect_a2a = 2 * 3 + 2  # may fuse; assert at least the phase count
+    # psort_keys is keys-only: W_wire=1 (bits only; the index word is
+    # synthesized in-shard and never shipped). Expected collectives:
+    # 1 a2a (pre-exchange, 1 word), (P-1)*(1 word + 1 len) ring permutes
+    # + 2R rebalance permutes = 22 at P=8.
     print(f"HLO collectives: {len(a2a)} all-to-all, {len(ag)} all-gather")
     print(f"model: cap={cap} cap3={cap3} s={s} oversample={ov} "
-          f"(main wire/chip = {(P-1)*cap*2*4/1e6:.2f} MB, "
-          f"pre = {(P-1)/P*B*2*4/1e6:.2f} MB)")
+          f"(main wire/chip = {(P-1)*cap*1*4/1e6:.2f} MB, "
+          f"pre = {(P-1)/P*B*1*4/1e6:.2f} MB)")
     for shape in set(re.findall(r"all-to-all[^=]*= \(?([a-z0-9\[\],]+)", text)):
         print("  a2a shape:", shape[:80])
-    assert len(a2a) >= 1, "expected the pre-exchange all_to_all"
+    assert len(a2a) == 1, (
+        "keys-only pre-exchange must ship exactly one word (bits; the "
+        f"index is synthesized in-shard) — got {len(a2a)} all-to-alls")
     assert len(ag) >= 2, "expected sample + counts all_gathers"
     assert len(cp) >= 2 * (P - 1), "expected ring + rebalance ppermutes"
     print(f"  ({len(cp)} collective-permutes: ring rounds + rebalance)")
