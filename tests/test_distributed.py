@@ -332,6 +332,70 @@ def test_psort_donate(mesh):
     np.testing.assert_array_equal(np.asarray(perm), p)
 
 
+def test_psort_refinement_structured_inputs(mesh):
+    """Exact-rank splitter refinement (DESIGN.md §4b) regression set: the
+    inputs that broke intermediate designs. Two-values (95% duplicates at
+    partial density — stride-granularity segment excess, fixed by the
+    mod-P interleaved pre-exchange AND the monotone bracket update),
+    presorted/reversed (position-contiguous masses), keys-only variants
+    of each. All must complete without tripping the tightened
+    ~1.06*B/P capacity."""
+    n = 50000
+    rng = np.random.default_rng(99)
+    two = np.where(rng.random(n) < 0.95, 7, 123456789).astype(np.uint32)
+    asc = np.arange(n, dtype=np.uint32)
+    for label, x in (("two-values", two), ("presorted", asc),
+                     ("reversed", asc[::-1].copy())):
+        got, ovf = psort_keys(jnp.asarray(x), mesh=mesh, check=True)
+        assert not bool(ovf), f"overflow on {label}"
+        np.testing.assert_array_equal(np.asarray(got), np.sort(x),
+                                      err_msg=label)
+
+
+def test_psort_refine_off_matches(mesh):
+    # the legacy sampling-bound path (refine=False) must stay available
+    # and bit-exact (it is the pre-round-4 behavior: slack 1.5, budget cap)
+    n = 30000
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    got, ovf = psort_keys(jnp.asarray(x), mesh=mesh, check=True,
+                          refine=False)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x))
+    k2, v2 = psort_pairs(jnp.asarray(x), jnp.asarray(v), mesh=mesh,
+                         refine=False)
+    p = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k2), x[p])
+    np.testing.assert_array_equal(np.asarray(v2), v[p])
+
+
+def test_refine_plan_properties():
+    from tinyhipradixsort_tpu.parallel.psort import refine_plan
+    # W_f converges to O(P) at every scale, rounds stay bounded, and the
+    # P > 128 budget cliff is gone: W_f at P=256 is ~P, not ~B/64
+    for B, P in ((8192, 8), (62_500_000, 256), (250_000_000, 64)):
+        rounds, W_f = refine_plan(B, P, min(B, 32 * P))
+        assert rounds <= 16
+        assert W_f <= 2 * P + 18, (B, P, W_f)
+
+
+@pytest.mark.full
+def test_psort_large_n_executes(mesh):
+    """Execution (not just compile) evidence for the big-n distributed
+    path (VERDICT r3 #3; reference bar unittest.cpp:688-717 u32Large,
+    n = 2**31+100). The largest n this 1-core host sorts in nightly
+    budget: n = 2**26 u32 through the full psort pipeline on the 8-device
+    CPU mesh (standalone runs recorded 2**27 bit-exact in 632 s,
+    PROGRESS/docs). method=lexsort keeps the local sorts near numpy
+    speed."""
+    n = 1 << 26
+    x = np.random.default_rng(26).integers(0, 2**32, size=n, dtype=np.uint32)
+    got, ovf = psort_keys(jnp.asarray(x), mesh=mesh, method="lexsort",
+                          check=True)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x))
+
+
 @pytest.mark.full
 def test_psort_pallas_big_shard_merges():
     """Regression (r3): psort's fold-tree merges on shards past the tile

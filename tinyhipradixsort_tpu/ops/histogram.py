@@ -2,10 +2,18 @@
 
 Reference: kernel.cu:73-103 — one thread-block per tile builds a 256-bin
 shared-memory histogram via atomicInc. TPUs have no atomics; the kernel
-accumulates bucket-chunked compare-sums on the VPU instead. The bitonic
-speed path does not need histograms (docs/DESIGN.md §2), but they remain a
-building block: global digit distribution statistics, and the MSB-bucket
-variant of the distributed sort planned in docs/DESIGN.md §4.
+accumulates bucket-chunked compare-sums on the VPU instead.
+
+**Status: tests-only parity artifact (decision 2026-08-19, docs/DESIGN.md
+§4b).** The bitonic speed path needs no histograms (DESIGN.md §2); the
+MSB-partition front-end built on this shape was measured 100x off and
+rejected (DESIGN.md §3); and the once-planned histogram-refined splitter
+stage for the distributed sort was superseded by exact-rank sample
+refinement (psort._refine_cuts), because bucket precision is unbounded
+under duplicates while tuple ranks are exact on every distribution. This
+module stays as the faithful ``blockCount`` semantics mirror with its own
+unit tests (tests/test_histogram.py) — the reference's bucket-major
+counter layout and pad conventions are documented here and nowhere else.
 
 Outputs match the reference's layout transposed: ``(num_tiles, 2**width)``
 (the reference stores bucket-major, kernel.cu:97; transpose as needed —

@@ -4,12 +4,13 @@ All new design (the reference is single-GPU; SURVEY.md §2/§7.5). Algorithm —
 sample sort with index-tie-broken splitters, expressed TPU-natively with
 static shapes throughout:
 
-0. **Stride pre-exchange**: one exact ``all_to_all`` redistributes the
-   contiguous input shards so each chip holds P spread sub-blocks of the
-   global array. Combined with step 2's index tie-break this bounds every
-   (src,dst) exchange segment near ``B/P`` even for already-sorted,
-   constant, or Zipf-skewed keys — the static-capacity analogue of a ragged
-   all_to_all.
+0. **Mod-P interleaved pre-exchange**: one exact ``all_to_all`` (with a
+   free local transpose) redistributes the contiguous input shards so
+   chip j holds exactly the global positions ≡ j (mod P). Combined with
+   step 2's index tie-break this bounds every (src,dst) exchange segment
+   near ``B/P`` even for already-sorted, constant, dense-duplicate, or
+   Zipf-skewed keys (position-contiguous masses split with deviation
+   <= 1 per chip) — the static-capacity analogue of a ragged all_to_all.
 1. **Local sort** of the shard (Pallas bitonic engine on TPU,
    ``jnp.lexsort`` elsewhere). The compare tuple ends with the original
    global index word, so local sorts are stable and all tuples are
@@ -19,21 +20,29 @@ static shapes throughout:
    dropped again before the ring exchange, so they never touch the wire
    (``idx_synth`` — 3x exchange-wire cut in the wide-index regime).
 2. **Splitters**: each chip all_gathers ``s`` evenly spaced sample tuples
-   from its sorted shard (``s = oversample*P``, budget-capped in auto mode
-   so the replicated ``P*s`` sample never exceeds ``_SAMPLE_BUDGET``
-   tuples); a replicated lexsort of the sample picks the P-1 global
-   splitter tuples. Ties in key split by original index — equal-key masses
-   spread evenly over destination chips.
+   from its sorted shard (``s = oversample*P``); a replicated lexsort of
+   the sample picks the P-1 global splitter tuples. Ties in key split by
+   original index — equal-key masses spread evenly over destination
+   chips. Then **exact-rank refinement** (``_refine_cuts``, default on):
+   a few rounds of [all_gather k rank-evenly-spaced candidate tuples per
+   chip per boundary -> exact global ranks via vectorized searchsorted +
+   psum -> shrink the bracket (k+1)-fold], driving the splitter rank
+   error from O(B*P/s) down to W_f = O(P). This is what lets the
+   exchange capacity sit at ~B/P instead of 1.5*B/P, and removes the
+   old _SAMPLE_BUDGET precision cliff at P > 128 (cf. PAPERS.md
+   "Histogram Sort with Sampling" — refinement here is sample-based
+   because tuples with index tie-breaks rank exactly on every
+   distribution, where bucket histograms lose precision on duplicates;
+   see docs/DESIGN.md §4b).
 3. **Partition**: local cuts = vectorized binary search of splitter tuples
-   in the sorted shard.
+   in the sorted shard (refined mode: the tracked hi-bracket positions).
 4. **Exchange + merge, overlapped**: P-1 ``ppermute`` ring rounds of one
-   static ``(cap,)`` sentinel-padded buffer per word, cap = max(slack*B/P,
-   B/P + 2*ceil(B*P/s)) + 8 where s is the per-chip sample count after the
-   budget cap (s = oversample*P at small P, _SAMPLE_BUDGET/P at large P —
-   so the drift bound GROWS once the cap binds; the second term is the
-   analytic worst-case segment under regular sampling — overflow is
-   impossible at defaults for value-spread inputs; cf. PAPERS.md
-   "Histogram Sort with Sampling"); received sorted runs fold into a
+   static ``(cap,)`` sentinel-padded buffer per word, cap =
+   max(slack*B/P, B/P + 2*W_f + margin) + 8 where margin =
+   max(8*sqrt(B/P), B/P/16) cushions hypergeometric stride-granularity
+   fluctuations (with ``refine=False``: the classic
+   B/P + 2*ceil(B*P*/s) sampling bound with slack 1.5 and the
+   _SAMPLE_BUDGET cap on s); received sorted runs fold into a
    binary-counter bitonic
    merge tree *between* rounds, which XLA's TPU scheduler overlaps with
    the in-flight collective-permutes (``_ring_exchange_merge``). Any
@@ -146,12 +155,13 @@ def _merge_runs_tree(cmp_words, carry_words, nrows, rowlen, method,
 def _searchsorted_words(sorted_words, query_words):
     """Left insertion points of query tuples in sorted word tuples.
 
-    sorted_words: list of (B,) u32; query_words: list of (Q,) u32.
+    sorted_words: list of (B,) u32; query_words: list of (Q,) or (Q, M)
+    u32 (any shape — the search is elementwise over the query shape).
     """
     B = sorted_words[0].shape[0]
-    Q = query_words[0].shape[0]
-    lo = jnp.zeros((Q,), jnp.int32)
-    hi = jnp.full((Q,), B, jnp.int32)
+    qshape = query_words[0].shape
+    lo = jnp.zeros(qshape, jnp.int32)
+    hi = jnp.full(qshape, B, jnp.int32)
     steps = max(int(math.ceil(math.log2(max(B, 1)))) + 1, 1)
     for _ in range(steps):
         mid = (lo + hi) // 2
@@ -163,6 +173,98 @@ def _searchsorted_words(sorted_words, query_words):
     return lo
 
 
+def refine_plan(B: int, P_: int, s: int, k: int = 8):
+    """Static (rounds, W_f) for the exact-rank splitter refinement.
+
+    E0 = ceil(B*P/s) bounds a round-A sample splitter's global rank error
+    (regular-sampling drift, docs/DESIGN.md §4), so each chip's local
+    candidate window is 2*E0 wide and the total candidate space is
+    W_0 = 2*P*E0 elements. Each refinement round gathers k
+    rank-evenly-spaced candidate tuples per chip per boundary with
+    *exact* global ranks (all_gather + vectorized searchsorted + psum),
+    shrinking the bracket to W' <= W/(k+1) + P + 2 (no candidate lies
+    strictly inside the new bracket, so on each chip it spans at most
+    one inter-candidate gap <= w_p/(k+1) + 1; sum over chips). Iterate
+    to the fixed point ~1.1*P: the capacity floor becomes B/P + 2*W_f —
+    O(P) instead of O(B*P/s), so the _SAMPLE_BUDGET cap at P > 128 no
+    longer widens buffers (VERDICT r3 #5: the pod-scale precision cliff
+    is closed). Round count is ~log_{k+1}(B/16), independent of P.
+    """
+    W = 2 * P_ * int(math.ceil(B * P_ / max(s, 1))) + 2 * P_
+    rounds = 0
+    while rounds < 16 and W > P_ + 16:
+        Wn = W // (k + 1) + P_ + 2
+        if Wn >= W:
+            break
+        W, rounds = Wn, rounds + 1
+    return rounds, W
+
+
+def _refine_cuts(cmp_words, nreal, cuts0, E0: int, rounds: int, k: int,
+                 targets, rank_dt, P_: int):
+    """Refine round-A splitter cuts to near-exact global target ranks.
+
+    cmp_words: full sorted local tuple (bits + index words — all tuples
+    globally distinct, so ranks are unambiguous on every distribution,
+    duplicates included; this is why refinement is sample-based rather
+    than bucket-histogram-based, see docs/DESIGN.md §4b). cuts0: (Q,)
+    initial local insertion points of the sample splitters; targets: (Q,)
+    static global target ranks (rank_dt). Returns refined (Q,) local cuts
+    whose global rank error is <= W_f of refine_plan. Invariant each
+    round: the true rank-target splitter's local insertion point t_p lies
+    in [l_p, h_p] on every chip (a local shift never exceeds the global
+    rank shift).
+    """
+    Q = cuts0.shape[0]
+    l = jnp.maximum(cuts0 - E0, 0)
+    h = jnp.minimum(cuts0 + E0, nreal)
+    big = jnp.asarray(jnp.iinfo(rank_dt).max, rank_dt)
+    # global ranks of the current brackets (unknown until a candidate is
+    # adopted): a bracket may only ever be replaced by a strictly BETTER
+    # candidate — small windows cannot re-propose the element sitting
+    # exactly at h (positions are strictly inside (l, h)), so an
+    # unconditional update could swap a tight bracket for a worse one
+    r_lo_cur = jnp.full((Q,), rank_dt(-1))
+    r_hi_cur = jnp.full((Q,), big)
+    for _ in range(rounds):
+        # k candidates per chip per boundary, rank-evenly spaced in (l, h)
+        j = jnp.arange(1, k + 1, dtype=jnp.int32)
+        pos = l[:, None] + ((h - l)[:, None] * j[None, :]) // (k + 1)
+        pos_c = jnp.minimum(pos, jnp.maximum(nreal - 1, 0))  # (Q, k)
+        cand = [jax.lax.all_gather(w[pos_c], AXIS, axis=1).reshape(Q, -1)
+                for w in cmp_words]  # (Q, P*k) per word, replicated
+        ins = _searchsorted_words(cmp_words, cand)  # (Q, P*k) local
+        ranks = jax.lax.psum(ins.astype(rank_dt), AXIS)  # exact global
+        t = targets[:, None]
+        # best lo: max rank <= target; best hi: min rank > target
+        rank_lo = jnp.where(ranks <= t, ranks, -1)
+        rank_hi = jnp.where(ranks > t, ranks, big)
+        i_lo = jnp.argmax(rank_lo, axis=1)
+        i_hi = jnp.argmin(rank_hi, axis=1)
+        r_lo = jnp.take_along_axis(rank_lo, i_lo[:, None], 1)[:, 0]
+        r_hi = jnp.take_along_axis(rank_hi, i_hi[:, None], 1)[:, 0]
+        better_lo = r_lo > r_lo_cur
+        better_hi = r_hi < r_hi_cur
+        l_new = jnp.take_along_axis(ins, i_lo[:, None], 1)[:, 0]
+        h_new = jnp.take_along_axis(ins, i_hi[:, None], 1)[:, 0]
+        l = jnp.where(better_lo, l_new, l)
+        h = jnp.where(better_hi, h_new, h)
+        r_lo_cur = jnp.where(better_lo, r_lo, r_lo_cur)
+        r_hi_cur = jnp.where(better_hi, r_hi, r_hi_cur)
+    # Cut at the hi bracket: h is the local *left* insertion point of the
+    # smallest candidate with global rank > target (or the clipped
+    # initial window if no such candidate exists — which happens exactly
+    # when the target rank is at/past the real count, where cut = nreal
+    # is the correct answer). Cutting below the hi candidate sends every
+    # element of rank < rank(hi) left: global rank error in (0, W_f],
+    # and an element lands at most ceil(W_f/B)+1 chips from its true
+    # chip even when W_f >= B (degenerate tiny shards) — the lo bracket
+    # would instead let the boundary-sitting element itself skip right
+    # across every repeated boundary, blowing the rebalance radius.
+    # cummax: independent per-boundary selections can cross by < W_f.
+    return jax.lax.cummax(jnp.minimum(h, nreal))
+
+
 def _a2a(x):
     return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
 
@@ -171,26 +273,27 @@ def _synth_index_words(B: int, P_: int, me, n: int, n_idx: int):
     """Global-index word(s) of the post-pre-exchange local shard, built
     locally from ``iota`` + ``axis_index`` — zero wire cost.
 
-    The stride pre-exchange is a *deterministic* permutation: local slot
-    ``p = i*sub + t`` on chip ``me`` (sub = B/P) holds the element that chip
-    ``i`` held at local offset ``me*sub + t``, i.e. global position
-    ``i*B + me*sub + t``. Entry pads (global position >= n) get all-ones
-    index words so they sort to the local tail exactly as entry-materialized
-    index words would (pad detection + clipped cuts rely on this).
+    The mod-P interleaved pre-exchange is a *deterministic* permutation:
+    local slot ``p = i*sub + t`` on chip ``me`` (sub = B/P) holds the
+    element that chip ``i`` held at local offset ``t*P + me``, i.e.
+    global position ``i*B + t*P + me``. Entry pads (global position
+    >= n) get all-ones index words so they sort to the local tail exactly
+    as entry-materialized index words would (pad detection + clipped cuts
+    rely on this).
     """
     sub = B // P_
     if n_idx == 2:
         pos = jax.lax.iota(jnp.uint64, B)
         sub64 = jnp.uint64(sub)
-        g = ((pos // sub64) * jnp.uint64(B) + me.astype(jnp.uint64) * sub64
-             + pos % sub64)
+        g = ((pos // sub64) * jnp.uint64(B)
+             + (pos % sub64) * jnp.uint64(P_) + me.astype(jnp.uint64))
         pad = g >= jnp.uint64(n)
         hi, lo = bitonic_engine.split_u64(g)
         return [jnp.where(pad, SENTINEL, hi), jnp.where(pad, SENTINEL, lo)]
     pos = jax.lax.iota(jnp.uint32, B)
     sub32 = jnp.uint32(sub)
-    g = ((pos // sub32) * jnp.uint32(B) + me.astype(jnp.uint32) * sub32
-         + pos % sub32)
+    g = ((pos // sub32) * jnp.uint32(B)
+         + (pos % sub32) * jnp.uint32(P_) + me.astype(jnp.uint32))
     return [jnp.where(g >= jnp.uint32(n), SENTINEL, g)]
 
 
@@ -268,7 +371,7 @@ def _ring_exchange_merge(words, ncmp, cuts, lens, cap, P_, me, method,
 
 
 def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
-                 n_idx=1, idx_synth=None, tuning=None):
+                 n_idx=1, idx_synth=None, refine=None, tuning=None):
     """Runs inside shard_map; all words are (B,) u32 local shards.
 
     The last cmp word must be the original global index (distinct tuples) —
@@ -289,8 +392,18 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
     B = cmp_words[0].shape[0]
     ncmp = len(cmp_words)
 
-    # 0. stride pre-exchange: sub-block j of every chip -> chip j
-    words = [(_a2a(w.reshape(P_, B // P_))).reshape(-1)
+    # 0. stride pre-exchange with mod-P interleave: local position
+    # t*P + j (global i*B + t*P + j) rides row j of the all_to_all, so
+    # chip j ends up holding exactly the global positions ≡ j (mod P).
+    # Any position-contiguous element mass (constant keys, presorted
+    # runs, dense duplicate blocks) then splits across chips with count
+    # deviation <= 1 per chip — a sub-block (non-interleaved) exchange
+    # instead leaves block-granularity deviations up to ~B/P per chip
+    # for masses at density < 1 (measured: +37% segment excess on a 95%
+    # two-value input), which no sub-2x capacity could bound. Wire cost
+    # is identical; the transpose is local.
+    sub = B // P_
+    words = [(_a2a(w.reshape(sub, P_).T)).reshape(-1)
              for w in list(cmp_words) + list(carry_words)]
 
     sort_cmp, sort_carry = words[:ncmp], words[ncmp:]
@@ -325,6 +438,21 @@ def _psort_shard(cmp_words, carry_words, *, P_, cap, cap3, method, sample_s,
         pad_mask &= w == SENTINEL
     nreal = B - jnp.sum(pad_mask.astype(jnp.int32))
     cut = jnp.minimum(_searchsorted_words(cmp_words, splitters), nreal)
+    if refine is not None and refine[0] > 0:
+        # 2b. exact-rank splitter refinement (_refine_cuts): shrinks the
+        # splitter rank error from O(B*P/s) to W_f = O(P), which is what
+        # lets cap sit at ~B/P instead of 1.5*B/P (and closes the
+        # P > 128 sample-budget precision cliff, docs/DESIGN.md §4b).
+        # Targets are the *padded* quantiles q*B (chip q outputs global
+        # ranks [q*B, (q+1)*B) with entry pads at the global tail), so a
+        # target past the real count just converges the cut to nreal —
+        # real-count quantiles would instead strand the pad deficit on
+        # far chips and blow the rebalance radius at small n.
+        rounds, E0, k_ref = refine
+        rank_dt = jnp.int64 if P_ * B >= (1 << 31) else jnp.int32
+        targets = jnp.asarray([q * B for q in range(1, P_)], rank_dt)
+        cut = jnp.minimum(_refine_cuts(cmp_words, nreal, cut, E0, rounds,
+                                       k_ref, targets, rank_dt, P_), nreal)
     cuts = jnp.concatenate([jnp.zeros((1,), jnp.int32), cut,
                             nreal.reshape(1)])
     seg = cuts[1:] - cuts[:-1]
@@ -501,23 +629,35 @@ _SAMPLE_BUDGET = 1 << 23
 
 _PSORT_STATIC = (
     "mesh", "descending", "method", "oversample", "slack", "want", "check",
-    "zeros_exact", "start_bit", "end_bit", "tuning", "_unsafe_cap",
+    "zeros_exact", "start_bit", "end_bit", "refine", "tuning", "_unsafe_cap",
     "_force_wide")
 
 
 @functools.partial(jax.jit, static_argnames=_PSORT_STATIC)
 def _psort_entry(keys, values, *, mesh, descending, method, oversample,
                  slack, want, check, zeros_exact=True, start_bit=0,
-                 end_bit=None, tuning=None, _unsafe_cap=None,
+                 end_bit=None, refine=True, tuning=None, _unsafe_cap=None,
                  _force_wide=False):
     P_ = mesh.shape[AXIS]
+    refine = refine and P_ > 1
     auto_oversample = oversample is None
     if auto_oversample:
-        # auto: scale with P so the capacity floor B/P + 2*B*P/s stays
-        # ~1.5B/P (== the slack default: buffers sized exactly at the
-        # analytic bound) until the sample budget binds (P ~ 100 at the
-        # default budget); see docs/DESIGN.md §4a comms model
-        oversample = max(32, 4 * P_)
+        if refine:
+            # refinement decouples capacity from sample precision: the
+            # sample only seeds the refinement window, so a flat
+            # oversample suffices (cuts splitter-phase wire ~P/8-fold at
+            # pod scale vs the 4P scaling below)
+            oversample = 32
+        else:
+            # auto: scale with P so the capacity floor B/P + 2*B*P/s stays
+            # ~1.5B/P (== the slack default: buffers sized exactly at the
+            # analytic bound) until the sample budget binds (P ~ 100 at
+            # the default budget); see docs/DESIGN.md §4a comms model
+            oversample = max(32, 4 * P_)
+    if slack is None:
+        # refined splitters have O(P) rank error: the analytic bound sits
+        # at ~B/P and the slack floor should not re-widen it
+        slack = 1.0 if refine else 1.5
     if keys.ndim != 1:
         raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
     n = keys.shape[0]
@@ -610,18 +750,40 @@ def _psort_entry(keys, values, *, mesh, descending, method, oversample,
     # does occur (e.g. a caller-forced tiny cap) it raises at runtime
     # instead of returning silently dropped elements (check=True instead
     # returns the flag for the caller to handle).
-    bound = B // P_ + 2 * int(math.ceil(B * P_ / s))
+    refine_arg = None
+    drift = int(math.ceil(B * P_ / s))  # round-A splitter rank error
+    margin = 0
+    if refine:
+        k_ref = 8
+        rounds_ref, W_f = refine_plan(B, P_, s, k_ref)
+        if rounds_ref > 0:
+            refine_arg = (rounds_ref, drift + 1, k_ref)
+            drift = W_f  # post-refinement rank error is O(P)
+            # Per-(src,dst) segments fluctuate around B/P with
+            # hypergeometric stride-granularity noise (sigma ~
+            # sqrt(B/P)) that the unrefined mode hides inside its much
+            # larger drift term; with O(P) drift the margin must be
+            # explicit: 8 sigma, floored at B/P/16 (6.25%) so the
+            # relative cushion never vanishes. Value-position
+            # correlations engineered to defeat the stride spread can
+            # exceed any sub-B bound — in both modes that raises the
+            # overflow trap rather than truncating.
+            margin = max(8 * math.isqrt(B // P_ + 1), (B // P_) // 16)
+    bound = B // P_ + 2 * drift + margin
     cap = max(int(math.ceil(slack * B / P_)), bound) + 8
     if _unsafe_cap is not None:
         cap = int(_unsafe_cap)
     cap = min(cap, B)
-    cap3 = min(int(math.ceil(4.0 * B * P_ / s)) + 16, B)
+    # rebalance boundary pieces: splitter drift on both sides plus the
+    # entry-pad deficit (output targets are q*B ranks of the padded
+    # global array while counts track the n real elements)
+    cap3 = min(4 * drift + (n_pad - n) + 16, B)
 
     shard = functools.partial(
         _psort_shard, P_=P_, cap=cap, cap3=cap3,
         method=_resolve_local_method(method), sample_s=s,
         n_idx=2 if wide_index else 1, idx_synth=n if idx_local else None,
-        tuning=tuning)
+        refine=refine_arg, tuning=tuning)
     spec_w = P(AXIS)
     fn = jax.shard_map(
         lambda c, k: shard(c, k),
@@ -686,8 +848,8 @@ def _psort_window(keys, start_bit, end_bit):
 
 
 def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
-               start_bit=0, end_bit=None, oversample=None, slack=1.5,
-               check=False, zeros_exact=True, donate=False,
+               start_bit=0, end_bit=None, oversample=None, slack=None,
+               check=False, zeros_exact=True, donate=False, refine=True,
                _unsafe_cap=None, _force_wide=False):
     """Globally sorted keys over the mesh axis; same global shape as input.
 
@@ -714,7 +876,7 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
     out = entry(keys, (), mesh=mesh, descending=descending,
                 method=method, oversample=oversample, slack=slack,
                 want=("keys",), check=check, zeros_exact=zeros_exact,
-                start_bit=start_bit, end_bit=end_bit,
+                start_bit=start_bit, end_bit=end_bit, refine=refine,
                 tuning=bitonic_engine.EngineTuning.from_env(),
                 _unsafe_cap=_unsafe_cap, _force_wide=_force_wide)
     out = _consume_overflow(out, check)
@@ -722,8 +884,8 @@ def psort_keys(keys, *, mesh=None, order="ascending", method="auto",
 
 
 def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
-                start_bit=0, end_bit=None, oversample=None, slack=1.5,
-                check=False, zeros_exact=True, donate=False,
+                start_bit=0, end_bit=None, oversample=None, slack=None,
+                check=False, zeros_exact=True, donate=False, refine=True,
                 _force_wide=False):
     """Distributed stable key-value sort; values may be a pytree.
 
@@ -743,7 +905,7 @@ def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
                 method=method, oversample=oversample, slack=slack,
                 want=("keys", "values"), check=check,
                 zeros_exact=zeros_exact, start_bit=start_bit,
-                end_bit=end_bit,
+                end_bit=end_bit, refine=refine,
                 tuning=bitonic_engine.EngineTuning.from_env(),
                 _force_wide=_force_wide)
     out = _consume_overflow(out, check)
@@ -752,8 +914,9 @@ def psort_pairs(keys, values, *, mesh=None, order="ascending", method="auto",
 
 
 def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
-                  start_bit=0, end_bit=None, oversample=None, slack=1.5,
-                  check=False, donate=False, _force_wide=False):
+                  start_bit=0, end_bit=None, oversample=None, slack=None,
+                  check=False, donate=False, refine=True,
+                  _force_wide=False):
     """Distributed stable argsort (global permutation, sharded).
 
     ``start_bit``/``end_bit``/``donate`` have :func:`psort_keys` semantics.
@@ -766,7 +929,7 @@ def psort_indices(keys, *, mesh=None, order="ascending", method="auto",
     out = entry(keys, (), mesh=mesh, descending=descending,
                 method=method, oversample=oversample, slack=slack,
                 want=("indices",), check=check, start_bit=start_bit,
-                end_bit=end_bit,
+                end_bit=end_bit, refine=refine,
                 tuning=bitonic_engine.EngineTuning.from_env(),
                 _force_wide=_force_wide)
     out = _consume_overflow(out, check)

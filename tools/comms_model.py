@@ -35,47 +35,71 @@ from tinyhipradixsort_tpu.parallel.psort import _SAMPLE_BUDGET  # noqa: E402
 WORD = 4  # u32 bytes
 
 
-def capacities(B: int, P: int, oversample: int | None, slack: float):
-    """Mirror of psort._psort_entry's capacity formulas (keep in sync)."""
+def capacities(B: int, P: int, oversample: int | None, slack: float | None,
+               refine: bool = True):
+    """Mirror of psort._psort_entry's capacity formulas (keep in sync).
+
+    Returns (cap, cap3, s, oversample, rounds, W_f). With refine (the
+    default, as in psort) the exact-rank splitter refinement drops the
+    drift term from O(B*P/s) to W_f = O(P): cap sits at
+    B/P + 2*W_f + margin (margin = max(8*sqrt(B/P), B/P/16) stride
+    fluctuation cushion) and the _SAMPLE_BUDGET cliff at P > 128 is gone.
+    """
+    from tinyhipradixsort_tpu.parallel.psort import refine_plan
     auto = oversample is None
     if auto:
-        oversample = max(32, 4 * P)
+        oversample = 32 if refine else max(32, 4 * P)
+    if slack is None:
+        slack = 1.0 if refine else 1.5
     s = min(B, oversample * P)
-    if auto:  # replicated-sample budget cap, shared with psort
+    if auto and not refine:  # replicated-sample budget cap
         s = min(s, max(P, _SAMPLE_BUDGET // P))
-    bound = B // P + 2 * int(math.ceil(B * P / s))
+    drift = int(math.ceil(B * P / s))
+    rounds, W_f = refine_plan(B, P, s) if refine else (0, 0)
+    margin = 0
+    if rounds > 0:
+        drift = W_f
+        margin = max(8 * math.isqrt(B // P + 1), (B // P) // 16)
+    bound = B // P + 2 * drift + margin
     cap = max(int(math.ceil(slack * B / P)), bound) + 8
     cap = min(cap, B)
-    cap3 = min(int(math.ceil(4.0 * B * P / s)) + 16, B)
-    return cap, cap3, s, oversample
+    cap3 = min(4 * drift + 16, B)  # + (n_pad - n), 0 in the model
+    return cap, cap3, s, oversample, rounds, W_f
 
 
 def phase_bytes(B: int, P: int, W: int, Wc: int, *, oversample=None,
-                slack=1.5):
+                slack=None):
     """Per-chip egress bytes per phase. W = u32 words on the exchange wire
     (keys-only sorts ship ONLY the key-bits words — the global-index
     tie-break words are synthesized in-shard and dropped before the
     exchange, psort._synth_index_words), Wc = cmp words in the sample
     all_gather (bits + index: splitter tie-breaks need the index)."""
-    cap, cap3, s, oversample = capacities(B, P, oversample, slack)
+    cap, cap3, s, oversample, rounds, W_f = capacities(B, P, oversample,
+                                                       slack)
     f = (P - 1) / P  # fraction leaving the chip in an all_to_all
+    k = 8  # refinement candidates per chip per boundary
     return {
         "pre_exchange": f * B * W * WORD,
         "sample_all_gather": (P - 1) * s * Wc * WORD,
+        # refinement (psort step 2b): per round, an all_gather of
+        # (P-1)*k candidate tuples (Wc words) + an all_reduce (psum) of
+        # the (P-1, P*k) rank matrix (8B ranks, ~2x data on the wire)
+        "refine_wire": rounds * ((P - 1) * (P - 1) * k * Wc * WORD
+                                 + 2 * (P - 1) * (P - 1) * k * 8),
         "main_exchange_wire": (P - 1) * cap * W * WORD,
         "main_exchange_payload": f * B * W * WORD,  # ~exact: every real
-        # element moves once (stride pre-exchange spreads uniformly)
+        # element moves once (interleaved pre-exchange spreads uniformly)
         # rebalance: 2R ring ppermutes of one (cap3,) buffer (psort.py step
         # 6) — NOT an all_to_all of (P, cap3), which would ship (P-1)*cap3
         "rebalance_wire": 2 * min(P - 1, 4) * cap3 * W * WORD,
-        "rebalance_payload": 2 * (B * P / s) * W * WORD,  # drift bound
+        "rebalance_payload": 2 * max(W_f, 1) * W * WORD,  # drift bound
         "counts": (P - 1) * 4,
     }
 
 
 def predict(n: int, P: int, W: int, Wc: int, *, chip_rate: float,
             bw_per_chip: float, W_sort: int | None = None, oversample=None,
-            slack=1.5):
+            slack=None):
     """Weak-scaling efficiency: T_1 / T_P for fixed per-chip B = n/P.
 
     chip_rate: local sort throughput in (elements * words)/s per chip for
@@ -89,7 +113,7 @@ def predict(n: int, P: int, W: int, Wc: int, *, chip_rate: float,
     B = n // P
     W_sort = W if W_sort is None else W_sort
     ph = phase_bytes(B, P, W, Wc, oversample=oversample, slack=slack)
-    wire = (ph["pre_exchange"] + ph["sample_all_gather"]
+    wire = (ph["pre_exchange"] + ph["sample_all_gather"] + ph["refine_wire"]
             + ph["main_exchange_wire"] + ph["rebalance_wire"] + ph["counts"])
     t_comm = wire / bw_per_chip
     # local compute: sort B (W_sort words) + merge trees ~ (1 + 2*log2 P)
@@ -182,7 +206,7 @@ def validate():
     ag = re.findall(r"all-gather\(|all_gather", text)
     cp = re.findall(r"collective-permute|collective_permute", text)
     B = n // P
-    cap, cap3, s, ov = capacities(B, P, None, 1.5)
+    cap, cap3, s, ov, rounds, W_f = capacities(B, P, None, None)
     # psort_keys is keys-only: W_wire=1 (bits only; the index word is
     # synthesized in-shard and never shipped). Expected collectives:
     # 1 a2a (pre-exchange, 1 word), (P-1)*(1 word + 1 len) ring permutes

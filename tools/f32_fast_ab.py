@@ -34,6 +34,16 @@ def gen(seed, n):
     # Mixed-sign finite floats incl. +-0.0: mask the exponent below Inf/NaN.
     bits = jnp.where(bits & jnp.uint32(0x7F800000) == jnp.uint32(0x7F800000),
                      bits & jnp.uint32(0xBF800000), bits)
+    # Uniform bit patterns make +-0.0 a ~2/2^32 event (ADVICE r3: the
+    # normalization gate would be vacuous) — splice a deterministic block
+    # of -0.0/+0.0 and equal-magnitude duplicates so the zeros_exact=False
+    # contract (-0.0 -> +0.0, zero-tie ordering) is actually exercised.
+    k = min(n, 4096)
+    pos = jr.randint(jr.key(seed ^ 0x5EED), (k,), 0, n)
+    vals = jnp.tile(jnp.asarray([-0.0, 0.0, -0.0, 1.5, -1.5, 1.5, 0.0, -0.0],
+                                jnp.float32), k // 8 + 1)[:k]
+    bits = jnp.asarray(bits).at[pos].set(
+        jax.lax.bitcast_convert_type(vals, jnp.uint32))
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
@@ -66,6 +76,8 @@ def main():
     ap.add_argument("--exp", type=int, default=28)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (no timed iterations otherwise)")
     run("f32-fast-gate", 1 << 24, False, args.reps)  # correctness-gated
     run("f32-fast", 1 << args.exp, False, args.reps)
     run("f32-exact", 1 << args.exp, True, args.reps)
