@@ -546,7 +546,16 @@ def bits_to_cmp_words(bits, start_bit: int, end_bit: int) -> list:
 # Engine entry
 # ---------------------------------------------------------------------------
 
-_PAD_TARGET_BYTES = 8 << 20  # per-word tile budget -> tile_bits selection
+# Per-word tile byte budget -> tile_bits selection (_tile_bits_for).
+# 32 MB keeps <= 5-word configs (KV64 stable) at the full 2**18 tile; the
+# old 8 MB default dropped them to 2**16 (4x the grid steps, 2 extra
+# cross-sweep levels). Decisive A/B at n=2**28 on v5e
+# (benchmarks/pairs_ab_r4_exp28.txt, 2026-08-19): KV64 stable 0.147 ->
+# 0.190 Gpairs/s (+29%), KV64 unstable +11%, KV32 stable +10%, KV32
+# unstable unchanged; 5 words at 2**18 use ~21 MB of the 100 MB scoped
+# VMEM, and the budget still self-limits very wide tuples (> 12 words
+# fall back to smaller tiles). THRS_PAD_TARGET_MB overrides.
+_PAD_TARGET_BYTES = 32 << 20
 
 
 @dataclass(frozen=True)
