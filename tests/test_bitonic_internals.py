@@ -185,3 +185,27 @@ def test_searchsorted_words_matches_numpy():
     qpacked = (qh.astype(np.uint64) << 32) | ql
     want = np.searchsorted(packed, qpacked, side="left")
     np.testing.assert_array_equal(got, want)
+
+
+def test_fuse_pair2_matches_default():
+    """The fused two-bit pair-split CE (EngineTuning.fuse_pair2, the r4
+    substage-reduction A/B) is bit-identical to the default network:
+    keys-only, multi-word lex, and stable carries all agree. n = 2**14
+    with tile rot=10 gives several adjacent pair-form substages per stage
+    (fb >= LANE_BITS+3), so the fused path genuinely executes."""
+    n = 1 << 14
+    on = be.EngineTuning(fuse_pair2=True)
+    # keys-only single word (min/max CE form)
+    x = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    cw, _ = be.sort_words([jnp.asarray(x)], [], interpret=True, tuning=on)
+    np.testing.assert_array_equal(np.asarray(cw[0]), np.sort(x))
+    # dense duplicates + index word + carry (lex form, stability contract)
+    k = RNG.integers(0, 16, size=n, dtype=np.uint32)
+    idx = np.arange(n, dtype=np.uint32)
+    pay = RNG.integers(0, 2**32, size=n, dtype=np.uint32)
+    cw, carry = be.sort_words([jnp.asarray(k), jnp.asarray(idx)],
+                              [jnp.asarray(pay)], interpret=True, tuning=on)
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(cw[0]), k[order])
+    np.testing.assert_array_equal(np.asarray(cw[1]), idx[order])
+    np.testing.assert_array_equal(np.asarray(carry[0]), pay[order])

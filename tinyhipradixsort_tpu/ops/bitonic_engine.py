@@ -265,7 +265,7 @@ def _stage_groups(substages):
 
 
 def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int,
-                      tie_safe: bool = False):
+                      tie_safe: bool = False, fuse_pair2: bool = False):
     """tie_safe: make the roll-form CE tie-consistent — both partners of a
     tied pair keep their own tuple (one extra lex chain per substage), so
     duplicate cmp tuples with DISTINCT carries still move as a permutation.
@@ -336,6 +336,58 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int,
             out.append(jnp.stack([nlo, nhi], axis=1).reshape(shape))
         return out
 
+    def substage_pair2(xs, fb_a, fb_b):
+        """Fused CE over two sublane bits (the r4 substage-reduction A/B,
+        VERDICT r3 item 8): one 4-way split view runs both substages'
+        compare-exchanges on quarter arrays with a single reassembly
+        instead of two interleave rounds. Same compare count as two
+        :func:`substage_pair` calls — the candidate saving is one
+        stack/interleave relayout per substage pair. Gated by
+        ``EngineTuning.fuse_pair2`` pending on-chip measurement."""
+        pa, pb = fb_a - LANE_BITS, fb_b - LANE_BITS
+        p_hi, p_lo = max(pa, pb), min(pa, pb)
+        C = 1 << p_lo
+        Bm = 1 << (p_hi - p_lo - 1)
+        A = rows >> (p_hi + 1)
+        vs = [x.reshape(A, 2, Bm, 2, C, 128) for x in xs]
+
+        def at(vw, i, j):
+            # (i, j) = values of bits (pa, pb); axis 1 holds p_hi
+            ii, jj = (i, j) if pa == p_hi else (j, i)
+            return vw[:, ii, :, jj]
+
+        q = {(i, j): [at(v, i, j) for v in vs]
+             for i in (0, 1) for j in (0, 1)}
+
+        def ce(lo, hi):
+            # identical tie behavior to substage_pair: the whole tuple
+            # swaps or not as a unit (tie-consistent; keep (lo, hi) iff
+            # lo < hi, ties may swap — harmless under the word contract)
+            if nwords == 1:
+                mn, mx = _umin_umax(lo[0], hi[0])
+                return [mn], [mx]
+            s = _lex_lt(hi, lo, ncmp)  # lo < hi
+            return ([jnp.where(s, l, h) for l, h in zip(lo, hi)],
+                    [jnp.where(s, h, l) for l, h in zip(lo, hi)])
+
+        # substage order: CE across fb_a first, then across fb_b
+        a00, a10 = ce(q[(0, 0)], q[(1, 0)])
+        a01, a11 = ce(q[(0, 1)], q[(1, 1)])
+        r = {}
+        r[(0, 0)], r[(0, 1)] = ce(a00, a01)
+        r[(1, 0)], r[(1, 1)] = ce(a10, a11)
+        out = []
+        for w in range(nwords):
+            # assemble (A, 2, Bm, 2, C, 128) back: axis 1 = p_hi bit,
+            # axis 3 = p_lo bit; r is keyed (pa-bit value, pb-bit value)
+            def hi_part(hbit, lbit):
+                i, j = (hbit, lbit) if pa == p_hi else (lbit, hbit)
+                return r[(i, j)][w]
+            s0 = jnp.stack([hi_part(0, 0), hi_part(0, 1)], axis=2)
+            s1 = jnp.stack([hi_part(1, 0), hi_part(1, 1)], axis=2)
+            out.append(jnp.stack([s0, s1], axis=1).reshape(shape))
+        return out
+
     def tile_rot(x, rot):
         """Apply the storage bit-rotation within the tile in VMEM (the
         in-kernel form of _rotate_storage on one 2**T block)."""
@@ -382,15 +434,24 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int,
             cm = stage_cmask(k)
             if cm is not None:
                 xs = [x ^ cm if w < ncmp else x for w, x in enumerate(xs)]
-            for j in js:
-                fb = sweep.tile_bit(j)
+            fbs = [sweep.tile_bit(j) for j in js]
+            i = 0
+            while i < len(fbs):
+                fb = fbs[i]
                 # pair-split only when halves are (8,128)-tile aligned
                 # (m >= 8): sub-tile strided slicing costs more than it
                 # saves (measured)
+                if (fuse_pair2 and i + 1 < len(fbs)
+                        and fb >= LANE_BITS + 3
+                        and fbs[i + 1] >= LANE_BITS + 3):
+                    xs = substage_pair2(xs, fb, fbs[i + 1])
+                    i += 2
+                    continue
                 if fb >= LANE_BITS + 3:
                     xs = substage_pair(xs, fb)
                 else:
                     xs = substage_roll(xs, fb)
+                i += 1
             if cm is not None:
                 xs = [x ^ cm if w < ncmp else x for w, x in enumerate(xs)]
         if sweep.rot_out:
@@ -404,7 +465,7 @@ def make_sweep_kernel(sweep: Sweep, nwords: int, ncmp: int,
 
 
 def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool,
-              tie_safe: bool = False):
+              tie_safe: bool = False, fuse_pair2: bool = False):
     nwords = len(words)
     # A is derived from the words' real length, not 2**sweep.L: only the
     # block span (j_lo + g bits) must divide the total. Direction bits
@@ -423,7 +484,7 @@ def run_sweep(words, sweep: Sweep, ncmp: int, interpret: bool,
     # i64, which Mosaic's index-map lowering rejects
     zero = np.int32(0)
     spec = pl.BlockSpec(block, lambda a, b: (a, zero, b, zero, zero))
-    kernel = make_sweep_kernel(sweep, nwords, ncmp, tie_safe)
+    kernel = make_sweep_kernel(sweep, nwords, ncmp, tie_safe, fuse_pair2)
     shaped = [w.reshape(view) for w in words]
     from jax.experimental.pallas import tpu as pltpu
     params = None if interpret else pltpu.CompilerParams(
@@ -588,11 +649,16 @@ class EngineTuning:
     cross_g_max: int = 8
     tile_bits_cap: int = 18
     # per-word tile byte budget for _tile_bits_for (~4 live 4B buffers per
-    # word). The 8 MB default keeps 1-word configs at tile 2**18 but drops
-    # 5-word pairs (u64+u64) to 2**16 — 4x the grid steps and 2 extra
-    # cross-sweep levels; at tile 2**18 five words are ~21 MB of the 100 MB
-    # scoped-VMEM limit, so raising this is the KV64 A/B knob.
+    # word). 32 MB (see _PAD_TARGET_BYTES) keeps <= 5-word configs (KV64)
+    # at the full 2**18 tile; the old 8 MB default dropped them to 2**16
+    # (4x the grid steps, 2 extra cross-sweep levels) — the r4 exp-28 A/B
+    # measured the flip at +29% KV64 / +10% KV32.
     pad_target_bytes: int = _PAD_TARGET_BYTES
+    # fused two-bit pair-split CE (substage_pair2): same compare count,
+    # one reassembly per substage pair instead of two interleaves. r4
+    # A/B candidate (VERDICT r3 item 8); off by default pending on-chip
+    # measurement.
+    fuse_pair2: bool = False
     # cross sweeps use the full tile budget for the payload chunk
     # (c = tile_bits - g) instead of capping it at chunk_bits=13; fewer,
     # bigger blocks per HBM round trip (see plan_sweeps)
@@ -623,6 +689,7 @@ class EngineTuning:
                                                    "0")),
             pad_target_bytes=(int(os.environ.get("THRS_PAD_TARGET_MB", "0"))
                               * (1 << 20)) or _PAD_TARGET_BYTES,
+            fuse_pair2=os.environ.get("THRS_FUSE_PAIR2", "0") != "0",
         )
 
 
@@ -785,7 +852,8 @@ def _run_network(words, ncmp: int, L: int, stages, interpret: bool,
         if parts and is_local_T(parts[-1]) and can_fuse(rot):
             parts[-1] = _dc_replace(parts[-1], rot_out=rot)
     for part in parts:
-        words = run_sweep(words, part, ncmp, interpret, tie_safe)
+        words = run_sweep(words, part, ncmp, interpret, tie_safe,
+                          tuning.fuse_pair2)
     if rot and not (parts and parts[-1].rot_out):
         words = [_rotate_storage(w, T, rot) for w in words]
     return words
