@@ -209,3 +209,77 @@ def test_fuse_pair2_matches_default():
     np.testing.assert_array_equal(np.asarray(cw[0]), k[order])
     np.testing.assert_array_equal(np.asarray(cw[1]), idx[order])
     np.testing.assert_array_equal(np.asarray(carry[0]), pay[order])
+
+
+@pytest.mark.parametrize("a,b", [
+    (1024, 1), (1024, 513), (1024, 1024),     # truncated path, one level
+    (2048, 700), (4096, 1000), (4096, 4095),  # multi-level upper chains
+    (1536, 100), (1024, 1500), (512, 100),    # padded-fallback shapes
+])
+def test_merge_sorted_runs_truncated(a, b):
+    """The truncated (virtual-sentinel) merge is exact against a stable
+    lexsort oracle for pow2/non-pow2 run-length combinations, including
+    carries and multi-word cmp tuples (round 5, ROADMAP item 1 tail)."""
+    ka = np.sort(RNG.integers(0, 2**8, a, dtype=np.uint32))  # dense ties
+    ia = np.arange(a, dtype=np.uint32)  # (ka, ia) ascending-lex
+    kb = RNG.integers(0, 2**8, b, dtype=np.uint32)
+    ib = a + np.arange(b, dtype=np.uint32)
+    rev = np.lexsort((ib, kb))[::-1]  # (kb, ib) descending-lex
+    kb, ib = kb[rev].copy(), ib[rev].copy()
+    pa, pb = ia * 7, ib * 7  # carry tied to the (distinct) cmp tuple
+    out = be._merge_sorted_runs(
+        [jnp.asarray(w) for w in (ka, ia, pa)],
+        [jnp.asarray(w) for w in (kb, ib, pb)], 2, True, None)
+    key = np.concatenate([ka, kb])
+    idx = np.concatenate([ia, ib])
+    pay = np.concatenate([pa, pb])
+    order = np.lexsort((idx, key))
+    np.testing.assert_array_equal(np.asarray(out[0]), key[order])
+    np.testing.assert_array_equal(np.asarray(out[1]), idx[order])
+    np.testing.assert_array_equal(np.asarray(out[2]), pay[order])
+
+
+def test_merge_sorted_runs_keys_only_duplicates():
+    """Keys-only (no carries): duplicate-heavy runs through the truncated
+    merge — tie swaps are unobservable, output must equal np.sort."""
+    a, b = 4096, 3000
+    ka = np.sort(RNG.integers(0, 8, a, dtype=np.uint32))
+    kb = np.sort(RNG.integers(0, 8, b, dtype=np.uint32))[::-1].copy()
+    out = be._merge_sorted_runs([jnp.asarray(ka)], [jnp.asarray(kb)],
+                                1, True, None)
+    np.testing.assert_array_equal(np.asarray(out[0]),
+                                  np.sort(np.concatenate([ka, kb])))
+
+
+def test_seg_pad_waste_threshold_takes_effect():
+    """seg_pad_waste=0.0 routes every non-pow2 n through the segmented
+    path; result must stay exact at a size the default would pad."""
+    n = (1 << 13) - 100  # waste ~1.2%: padded under the default
+    x = RNG.integers(0, 2**32, n, dtype=np.uint32)
+    tuned = be.EngineTuning(seg_pad_waste=0.0)
+    cw, _ = be.sort_words([jnp.asarray(x)], [], interpret=True, tuning=tuned)
+    np.testing.assert_array_equal(np.asarray(cw[0]), np.sort(x))
+
+
+def test_merge_sorted_runs_chain_with_carries():
+    """a = 2**17 exercises the truncated merge's dense CE levels and
+    sentinel bookkeeping above the small-tail materialization cap (2**16),
+    with an index word + carry through every level."""
+    a, b = 1 << 17, 90_000
+    ka = np.sort(RNG.integers(0, 2**16, a, dtype=np.uint32))
+    ia = np.arange(a, dtype=np.uint32)
+    kb = RNG.integers(0, 2**16, b, dtype=np.uint32)
+    ib = a + np.arange(b, dtype=np.uint32)
+    rev = np.lexsort((ib, kb))[::-1]
+    kb, ib = kb[rev].copy(), ib[rev].copy()
+    pa, pb = ia * 3, ib * 3
+    out = be._merge_sorted_runs(
+        [jnp.asarray(w) for w in (ka, ia, pa)],
+        [jnp.asarray(w) for w in (kb, ib, pb)], 2, True, None)
+    key = np.concatenate([ka, kb])
+    idx = np.concatenate([ia, ib])
+    order = np.lexsort((idx, key))
+    np.testing.assert_array_equal(np.asarray(out[0]), key[order])
+    np.testing.assert_array_equal(np.asarray(out[1]), idx[order])
+    np.testing.assert_array_equal(np.asarray(out[2]),
+                                  np.concatenate([pa, pb])[order])

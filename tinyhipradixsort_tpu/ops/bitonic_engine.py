@@ -671,6 +671,20 @@ class EngineTuning:
     partition_min_n: int = 1 << 24
     partition_row_bits: int = 0
     partition_tile_bits: int = 0
+    # non-power-of-two n: route through the pow2-segment decomposition when
+    # padding to 2**L would waste more than this fraction. With the
+    # truncated merge (round 5) the segmented path's el-substage cost is
+    # never above the padded path's (sort(2**L) = 2 sort(2**(L-1)) + merge
+    # is the same network), so only constant overheads (extra HBM trips for
+    # the dense CE levels, more kernel variants) argue for any padding at
+    # all. On-chip crossover (benchmarks/seg_merge_ab_r5.txt, u32 keys-only
+    # near 2**28): segmented wins +9-13% at waste 0.20-0.25, ties at 0.15,
+    # loses 5% at 0.12 -> default 0.15.
+    seg_pad_waste: float = 0.15
+    # truncated (virtual-sentinel) merge for sorted-run merges with pow2
+    # ascending side (round 5); False = always the padded construction
+    # (A/B lever, tools/seg_merge_ab.py)
+    trunc_merge: bool = True
 
     @staticmethod
     def from_env() -> "EngineTuning":
@@ -690,6 +704,9 @@ class EngineTuning:
             pad_target_bytes=(int(os.environ.get("THRS_PAD_TARGET_MB", "0"))
                               * (1 << 20)) or _PAD_TARGET_BYTES,
             fuse_pair2=os.environ.get("THRS_FUSE_PAIR2", "0") != "0",
+            seg_pad_waste=float(os.environ.get("THRS_SEG_PAD_WASTE",
+                                               "0.15")),
+            trunc_merge=os.environ.get("THRS_TRUNC_MERGE", "1") != "0",
         )
 
 
@@ -735,10 +752,20 @@ def check_word_contract(cmp_words: list, carry_words: list):
     return ~jnp.any(dup)
 
 
+#: max nested pow2-segment decompositions. Deeper nests (reachable only by
+#: forcing THRS_SEG_PAD_WASTE near 0) provoked a pathological XLA:TPU
+#: layout at 4096-divisible n — an (n/4096, 1024, 4) reshape tiled
+#: T(8,128) pads the minor dim 4 -> 128, a 30 GB allocation at n = 236M
+#: (on-chip bisect, round 5: 2 levels compile, ~6 levels OOM, with either
+#: merge construction). 2 levels cover every measured-profitable split.
+_MAX_SEG_DEPTH = 2
+
+
 def sort_words(cmp_words: list, carry_words: list,
                *, interpret: bool | None = None,
                tuning: EngineTuning | None = None,
-               allow_tied_carries: bool = False):
+               allow_tied_carries: bool = False,
+               _seg_depth: int = 0):
     """Sort u32 word tuples by lexicographic unsigned order of cmp_words.
 
     Returns (cmp_words, carry_words) reordered. Input words must share length.
@@ -780,11 +807,12 @@ def sort_words(cmp_words: list, carry_words: list,
     ncmp = len(cmp_words)
     L_full = max(_ceil_log2(n), MIN_L)
     # non-power-of-two: padding to 2**L wastes up to 2x work; when the waste
-    # exceeds ~25%, sort power-of-two segments and merge with arbitrary-length
-    # bitonic merge steps instead (docs/DESIGN.md §3)
-    if n > (1 << MIN_L) and n < (1 << L_full) * 3 // 4 and (n & (n - 1)):
+    # exceeds tuning.seg_pad_waste, sort power-of-two segments and merge with
+    # truncated (virtual-sentinel) bitonic merges instead (docs/DESIGN.md §3)
+    if (n > (1 << MIN_L) and (n & (n - 1)) and _seg_depth < _MAX_SEG_DEPTH
+            and n < int((1 << L_full) * (1.0 - tuning.seg_pad_waste))):
         words = _sort_segmented(list(cmp_words) + list(carry_words), n, ncmp,
-                                interpret, tuning)
+                                interpret, tuning, _seg_depth)
         return words[:ncmp], words[ncmp:]
 
     n_pad = 1 << L_full
@@ -988,14 +1016,125 @@ def merge_words_rows(cmp_words: list, carry_words: list, shape,
     return words[:ncmp], words[ncmp:]
 
 
+def _ce_pair(x_words, y_words, ncmp: int):
+    """Elementwise lex compare-exchange of two word lists → (mins, maxs).
+
+    Ties keep x in the min slot (no swap) — harmless under the word
+    contract (tied cmp tuples either cannot occur or carry identical /
+    absent carries, see :func:`sort_words`).
+    """
+    lt = _lex_lt(x_words, y_words, ncmp)  # y <lex x
+    mins = [jnp.where(lt, yw, xw) for xw, yw in zip(x_words, y_words)]
+    maxs = [jnp.where(lt, xw, yw) for xw, yw in zip(x_words, y_words)]
+    return mins, maxs
+
+
+def _merge_pow2(words, ncmp: int, m: int, interpret: bool,
+                tuning: EngineTuning | None):
+    """Ascending bitonic merge of a power-of-two bitonic word sequence."""
+    if m <= 1:
+        return words
+    if m < (1 << MIN_L):
+        # below one (8, 128) tile: dense jnp CE levels beat a padded kernel
+        for lev in range(m.bit_length() - 2, -1, -1):
+            d = 1 << lev
+            v = [w.reshape(-1, 2, d) for w in words]
+            mins, maxs = _ce_pair([w[:, 0, :] for w in v],
+                                  [w[:, 1, :] for w in v], ncmp)
+            words = [jnp.stack([mn, mx], axis=1).reshape(-1)
+                     for mn, mx in zip(mins, maxs)]
+        return words
+    return _run_network(words, ncmp, m.bit_length() - 1,
+                        [m.bit_length() - 1], interpret, tuning=tuning)
+
+
 def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool,
                        tuning: EngineTuning | None = None):
-    """Merge a sorted-ascending run with a sorted-descending run.
+    """Merge a sorted-ascending run (length ``a``) with a sorted-descending
+    run (length ``b``) into one ascending run of ``a + b``.
 
-    [asc, sentinel block, desc] padded to a power of two is bitonic (the
-    all-ones sentinels sit at the peak and, being maximal, never move before
-    real data under an ascending merge), so the engine's standard stage-L
-    merge sweeps apply; the real elements come out as the ascending prefix.
+    The provable construction is the virtual bitonic array
+    ``[asc, all-ones sentinel block, desc]`` padded to a power of two — the
+    maximal sentinels sit at the peak and never move before real data under
+    an ascending merge. When ``a`` is a power of two and ``b <= a`` (every
+    `_sort_segmented` call; most psort runs) the sentinels are **virtual
+    only**: cross-half compare-exchanges against a sentinel are
+    deterministic no-ops, so each split level is computed densely on the
+    real elements (jnp slices + one lex CE), every all-real half is an
+    exact power of two handled by the standard stage-``log2`` merge sweeps
+    with zero padding, and all-sentinel halves are dropped as bookkeeping.
+    Saves the up-to-2x padded work of the final merge on non-power-of-two
+    ``n`` (ROADMAP item 1 tail; the reference's own 160M headline workload,
+    /root/reference/main.cpp:105, is the motivating shape).
+    """
+    a = asc_words[0].shape[0]
+    b = desc_words[0].shape[0]
+    if b == 0:
+        return list(asc_words)
+    if a == 0:
+        return [jnp.flip(w) for w in desc_words]
+    tuning = _tuning_or_env(tuning)
+    if ((a & (a - 1)) or b > a or a < (1 << MIN_L)
+            or not tuning.trunc_merge):
+        return _merge_sorted_runs_padded(asc_words, desc_words, ncmp,
+                                         interpret, tuning)
+    # virtual array: [asc(a), SENT(a-b), desc(b)], length 2a. First split
+    # (stride a): indices [0, a-b) face sentinels (no-ops); the rest CE
+    # against the descending run.
+    mid = a - b
+    mins, maxs = _ce_pair([w[mid:] for w in asc_words], list(desc_words),
+                          ncmp)
+    lower = [jnp.concatenate([aw[:mid], mn])
+             for aw, mn in zip(asc_words, mins)]
+    # bitonic split: max(lower half) <= min(upper half); lower is all-real,
+    # power-of-two, bitonic -> standard merge emits the smallest `a` outputs
+    pieces = [_merge_pow2(lower, ncmp, a, interpret, tuning)]
+    # upper chain: virtual [SENT(s), R(r)] with s + r = M (power of two).
+    # Invariants: the virtual array is bitonic (upper half of a bitonic
+    # split) and its sentinel prefix is maximal.
+    R, s, M = maxs, mid, a
+    while True:
+        if s == 0:
+            pieces.append(_merge_pow2(R, ncmp, M, interpret, tuning))
+            break
+        if M <= (1 << 16):
+            # small tail: materialize the remaining virtual [SENT(s), R]
+            # once and finish with a single padded merge. A fully recursive
+            # chain emits a long run of tiny aligned pieces, which provoked
+            # a pathological XLA:TPU layout on the output concatenate
+            # (an (n/4096, 1024, 4) reshape tiled T(8,128) = 32x HBM, a
+            # 30 GB allocation at n = 236M — seg_merge_ab round 5); the
+            # materialized sentinels here cost <= 2**16 words. Sentinel
+            # ties follow the standard pad contract (see sort_words).
+            full = [jnp.concatenate(
+                [jnp.full((s,), jnp.uint32(0xFFFFFFFF if i < ncmp else 0),
+                          jnp.uint32), w]) for i, w in enumerate(R)]
+            merged = _merge_pow2(full, ncmp, M, interpret, tuning)
+            pieces.append([w[: M - s] for w in merged])
+            break
+        h = M // 2
+        if s >= h:
+            # upper half all sentinel; lower half = [SENT(s-h), R] (reals
+            # face sentinels and keep their values) — pure bookkeeping
+            s, M = s - h, h
+            continue
+        # split at h: lower[i<s] = R[h-s+i] (faces a sentinel), lower[i>=s]
+        # = min pair; upper = [SENT(s), maxes] — same form, half the size
+        mins, maxs = _ce_pair([w[: h - s] for w in R],
+                              [w[h:] for w in R], ncmp)
+        low = [jnp.concatenate([w[h - s: h], mn])
+               for w, mn in zip(R, mins)]
+        pieces.append(_merge_pow2(low, ncmp, h, interpret, tuning))
+        R, M = maxs, h
+    return [jnp.concatenate(ws) for ws in zip(*pieces)]
+
+
+def _merge_sorted_runs_padded(asc_words, desc_words, ncmp: int,
+                              interpret: bool,
+                              tuning: EngineTuning | None = None):
+    """Padded-merge fallback for shapes the truncated form does not cover
+    (non-power-of-two ``a``, ``b > a``, or sub-tile ``a``): materialize the
+    ``[asc, sentinel block, desc]`` construction at the next power of two.
     """
     a = asc_words[0].shape[0]
     b = desc_words[0].shape[0]
@@ -1012,16 +1151,17 @@ def _merge_sorted_runs(asc_words, desc_words, ncmp: int, interpret: bool,
 
 
 def _sort_segmented(words, n: int, ncmp: int, interpret: bool,
-                    tuning: EngineTuning | None = None):
+                    tuning: EngineTuning | None = None, depth: int = 0):
     """Sort arbitrary-n words: largest power-of-two prefix sorted with the
-    full network, the rest sorted recursively, then one bitonic merge."""
+    full network, the rest sorted recursively (nesting capped at
+    ``_MAX_SEG_DEPTH``), then one truncated bitonic merge."""
     a = 1 << (n.bit_length() - 1)  # largest power of two <= n
     left = [w[:a] for w in words]
     right = [w[a:] for w in words]
     left = _run_network(left, ncmp, n.bit_length() - 1, None, interpret,
                         tuning=tuning)
     cw, kw = sort_words(right[:ncmp], right[ncmp:], interpret=interpret,
-                        tuning=tuning)
+                        tuning=tuning, _seg_depth=depth + 1)
     right = [w[::-1] for w in list(cw) + list(kw)]
     return _merge_sorted_runs(left, right, ncmp, interpret, tuning)
 
