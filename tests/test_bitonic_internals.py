@@ -283,3 +283,54 @@ def test_merge_sorted_runs_chain_with_carries():
     np.testing.assert_array_equal(np.asarray(out[1]), idx[order])
     np.testing.assert_array_equal(np.asarray(out[2]),
                                   np.concatenate([pa, pb])[order])
+
+
+@pytest.mark.parametrize("B,nr", [
+    (8, 1040),   # pow2+16: deep bookkeeping chain, one tiny piece merge
+    (4, 1500),   # multi-level upper chain
+    (16, 33),    # just above the routing floor
+    (5, 2000),   # b close to a
+    (1, 700),    # single row through the row path
+])
+def test_sort_segmented_rows_stable(B, nr):
+    """Row-segmented non-pow2 sort (round 5, ROADMAP item 11 tail) is
+    exact against a per-row stable argsort oracle, with an index word and
+    a carry through the truncated row merges."""
+    k = RNG.integers(0, 2**8, (B, nr)).astype(np.uint32)  # dense ties
+    idx = np.tile(np.arange(nr, dtype=np.uint32), (B, 1))
+    pay = RNG.integers(0, 2**32, (B, nr)).astype(np.uint32)
+    tuned = be.EngineTuning(row_seg_waste=0.0, row_seg_min_nr=0)
+    cw, kw = be.sort_words_rows(
+        [jnp.asarray(k.ravel()), jnp.asarray(idx.ravel())],
+        [jnp.asarray(pay.ravel())], (B, nr), interpret=True, tuning=tuned)
+    order = np.argsort(k, axis=1, kind="stable")
+    np.testing.assert_array_equal(np.asarray(cw[0]).reshape(B, nr),
+                                  np.take_along_axis(k, order, 1))
+    np.testing.assert_array_equal(np.asarray(cw[1]).reshape(B, nr),
+                                  order.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(kw[0]).reshape(B, nr),
+                                  np.take_along_axis(pay, order, 1))
+
+
+def test_sort_segmented_rows_keys_only_duplicates():
+    """Keys-only rows (no carries) through the row-segmented path:
+    duplicate-heavy, tie swaps unobservable — must equal np.sort per row."""
+    B, nr = 6, 1040
+    k = RNG.integers(0, 8, (B, nr)).astype(np.uint32)
+    tuned = be.EngineTuning(row_seg_waste=0.0, row_seg_min_nr=0)
+    cw, _ = be.sort_words_rows([jnp.asarray(k.ravel())], [], (B, nr),
+                               interpret=True, tuning=tuned)
+    np.testing.assert_array_equal(np.asarray(cw[0]).reshape(B, nr),
+                                  np.sort(k, axis=1))
+
+
+def test_row_seg_waste_routing_default():
+    """With the default row_seg_waste, a high-waste row length routes
+    through the segmented path and a low-waste one pads — both exact."""
+    for nr in (1090, 4000):  # waste 0.47 (segmented) / 0.023 (padded)
+        B = 4
+        k = RNG.integers(0, 2**32, (B, nr), dtype=np.uint32)
+        cw, _ = be.sort_words_rows([jnp.asarray(k.ravel())], [], (B, nr),
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(cw[0]).reshape(B, nr),
+                                      np.sort(k, axis=1))

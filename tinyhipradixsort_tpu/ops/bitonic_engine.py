@@ -685,6 +685,21 @@ class EngineTuning:
     # ascending side (round 5); False = always the padded construction
     # (A/B lever, tools/seg_merge_ab.py)
     trunc_merge: bool = True
+    # batched (row-wise) sorts: route non-power-of-two ROW lengths through
+    # the per-row pow2-segment decomposition + truncated row merge when
+    # in-row sentinel padding would waste more than this fraction
+    # (`_sort_segmented_rows`); >= 1.0 disables (always pad rows to 2**r).
+    # Separate knob from seg_pad_waste: the padded row sort is ONE fused
+    # network, so the row crossover sits higher than the flat path's 0.15.
+    # On-chip (tools/row_seg_ab.py, benchmarks/row_seg_ab_r5.txt): seg
+    # +97% at waste 0.49, +32% at 0.25, +6-8% at ~0.28; loses 11-17% at
+    # 0.17-0.20 and below -> default 0.24 (routes the measured 0.25 win).
+    row_seg_waste: float = 0.24
+    # minimum row length for the row-segmented route: rows with a 512-long
+    # (or shorter) pow2 prefix measured at best a wash even at waste 0.41
+    # (16384x600 -2%, x700 -23%) — their padded network is already one
+    # cheap fused sweep. Tests set 0 to force the path.
+    row_seg_min_nr: int = 1024
 
     @staticmethod
     def from_env() -> "EngineTuning":
@@ -707,6 +722,10 @@ class EngineTuning:
             seg_pad_waste=float(os.environ.get("THRS_SEG_PAD_WASTE",
                                                "0.15")),
             trunc_merge=os.environ.get("THRS_TRUNC_MERGE", "1") != "0",
+            row_seg_waste=float(os.environ.get("THRS_ROW_SEG_WASTE",
+                                               "0.24")),
+            row_seg_min_nr=int(os.environ.get("THRS_ROW_SEG_MIN_NR",
+                                              "1024")),
         )
 
 
@@ -937,7 +956,8 @@ def _pad_rows(w, B: int, nr: int, r: int, b_pad: int, fill):
 def sort_words_rows(cmp_words: list, carry_words: list, shape,
                     *, interpret: bool | None = None,
                     tuning: EngineTuning | None = None,
-                    allow_tied_carries: bool = False):
+                    allow_tied_carries: bool = False,
+                    _seg_depth: int = 0):
     """Row-wise :func:`sort_words`: each of the ``B`` rows of the row-major
     flat words (``shape = (B, nr)``, word length ``B*nr``) is sorted
     independently by lexicographic unsigned cmp order.
@@ -966,6 +986,18 @@ def sort_words_rows(cmp_words: list, carry_words: list, shape,
         raise ValueError(
             f"allow_tied_carries needs power-of-two rows, got {nr}")
     tuning = _tuning_or_env(tuning)
+    # non-power-of-two row length: when in-row sentinel padding to 2**r
+    # would waste more than tuning.row_seg_waste, sort per-row pow2
+    # segments and merge them with the truncated row merge instead
+    # (zero in-row padding; docs/DESIGN.md §3). tie-unsafe carries keep
+    # the pow2 requirement (raised above).
+    if ((nr & (nr - 1)) and not tie_safe and _seg_depth < _MAX_SEG_DEPTH
+            and nr > max(tuning.row_seg_min_nr, 32)
+            and nr < int((1 << r) * (1.0 - tuning.row_seg_waste))):
+        words = _sort_segmented_rows(
+            list(cmp_words) + list(carry_words), B, nr, ncmp, interpret,
+            tuning, _seg_depth)
+        return words[:ncmp], words[ncmp:]
     T, b_pad = _row_plan(B, r, nwords, tuning)
     words = [_pad_rows(w, B, nr, r, b_pad, jnp.uint32(0xFFFFFFFF))
              for w in cmp_words]
@@ -1164,6 +1196,89 @@ def _sort_segmented(words, n: int, ncmp: int, interpret: bool,
                         tuning=tuning, _seg_depth=depth + 1)
     right = [w[::-1] for w in list(cw) + list(kw)]
     return _merge_sorted_runs(left, right, ncmp, interpret, tuning)
+
+
+def _merge_pow2_rows(words2d, ncmp: int, m: int, interpret: bool,
+                     tuning: EngineTuning | None):
+    """Row-wise :func:`_merge_pow2`: ascending bitonic merge of each row of
+    the ``(B, m)`` words (``m`` a power of two, every row bitonic)."""
+    if m <= 1:
+        return words2d
+    B = words2d[0].shape[0]
+    cw, kw = merge_words_rows([w.reshape(-1) for w in words2d[:ncmp]],
+                              [w.reshape(-1) for w in words2d[ncmp:]],
+                              (B, m), interpret=interpret, tuning=tuning)
+    return [w.reshape(B, m) for w in list(cw) + list(kw)]
+
+
+def _merge_sorted_runs_rows(asc, desc, ncmp: int, interpret: bool,
+                            tuning: EngineTuning | None = None):
+    """Row-wise :func:`_merge_sorted_runs`: merge each ascending row of the
+    ``(B, a)`` words with the matching descending row of the ``(B, b)``
+    words into one ascending row of ``a + b``.
+
+    Same virtual-bitonic-array construction as the flat form — requires
+    ``a`` a power of two and ``0 < b <= a`` (every `_sort_segmented_rows`
+    shape). All split levels are axis-1 slices + elementwise lex CEs, so
+    rows stay independent and shapes static; the all-real pow2 pieces run
+    :func:`merge_words_rows` with zero in-row padding.
+    """
+    B, a = asc[0].shape
+    b = desc[0].shape[1]
+    if b == 0:
+        return list(asc)
+    assert a >= b and not (a & (a - 1)), (a, b)
+    mid = a - b
+    mins, maxs = _ce_pair([w[:, mid:] for w in asc], list(desc), ncmp)
+    lower = [jnp.concatenate([aw[:, :mid], mn], axis=1)
+             for aw, mn in zip(asc, mins)]
+    pieces = [_merge_pow2_rows(lower, ncmp, a, interpret, tuning)]
+    # upper chain: virtual per-row [SENT(s), R(r)] with s + r = M (pow2);
+    # bookkeeping steps (s >= half) are free, so unlike the flat form the
+    # chain runs to the end — pieces are (B, h) column blocks (at most
+    # log2(a) of them), not the tiny aligned slivers that provoked the
+    # flat path's XLA layout pathology.
+    R, s, M = maxs, mid, a
+    while True:
+        if s == 0:
+            pieces.append(_merge_pow2_rows(R, ncmp, M, interpret, tuning))
+            break
+        h = M // 2
+        if s >= h:
+            # upper half all sentinel; lower half = [SENT(s-h), R]
+            s, M = s - h, h
+            continue
+        # split at h: lower[i<s] faces a sentinel (keeps R[h-s+i]), the
+        # rest CE; upper = [SENT(s), maxes] — same form, half the size
+        mins, maxs = _ce_pair([w[:, : h - s] for w in R],
+                              [w[:, h:] for w in R], ncmp)
+        low = [jnp.concatenate([w[:, h - s: h], mn], axis=1)
+               for w, mn in zip(R, mins)]
+        pieces.append(_merge_pow2_rows(low, ncmp, h, interpret, tuning))
+        R, M = maxs, h
+    return [jnp.concatenate(ws, axis=1) for ws in zip(*pieces)]
+
+
+def _sort_segmented_rows(words, B: int, nr: int, ncmp: int, interpret: bool,
+                         tuning: EngineTuning | None = None, depth: int = 0):
+    """Row-wise :func:`_sort_segmented`: each row's largest power-of-two
+    prefix is sorted with the truncated row network, the per-row remainder
+    recursively (nesting capped at ``_MAX_SEG_DEPTH``), then one truncated
+    row merge — zero in-row sentinel padding (ROADMAP item 11 tail)."""
+    a = 1 << (nr.bit_length() - 1)  # largest power of two < nr
+    w2d = [w.reshape(B, nr) for w in words]
+    left = [w[:, :a].reshape(-1) for w in w2d]
+    right = [w[:, a:].reshape(-1) for w in w2d]
+    lc, lk = sort_words_rows(left[:ncmp], left[ncmp:], (B, a),
+                             interpret=interpret, tuning=tuning)
+    rc, rk = sort_words_rows(right[:ncmp], right[ncmp:], (B, nr - a),
+                             interpret=interpret, tuning=tuning,
+                             _seg_depth=depth + 1)
+    asc = [w.reshape(B, a) for w in list(lc) + list(lk)]
+    desc = [jnp.flip(w.reshape(B, nr - a), axis=1)
+            for w in list(rc) + list(rk)]
+    out = _merge_sorted_runs_rows(asc, desc, ncmp, interpret, tuning)
+    return [w.reshape(-1) for w in out]
 
 
 def _rotate_storage(w, T: int, rot: int):
