@@ -143,8 +143,12 @@ def main():
             continue
         # amortize the ~30 ms dispatch floor for small n by chaining the sort
         # inside one jit — valid timing because bitonic is data-oblivious
-        # (sorting sorted data costs the same)
-        loops = min(max(1, (1 << 25) // n), 32)
+        # (sorting sorted data costs the same). Chain ~2**29 elements of
+        # work per timed call: the floor fluctuates 25-45 ms across
+        # sessions, and a 2-loop 16M chain measured 1.06 vs 1.94 Gkeys/s
+        # solo (round 5) — compute must dominate the floor's NOISE, not
+        # just the floor.
+        loops = min(max(1, (1 << 29) // n), 512)
         keys = jax.device_put(jnp.asarray(gen(dtype, n, rng)))
         if batched:
             keys = keys.reshape(B, nr)
